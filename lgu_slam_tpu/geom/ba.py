@@ -1,0 +1,212 @@
+"""Differentiable dense bundle adjustment for *training* (geom/ba.py parity).
+
+TPU-first redesign relative to /root/reference/droid_slam/geom/ba.py:31-157:
+
+- fixed shapes: the edge list is padded to a static length with a validity
+  mask (weight is zeroed on padded edges), so one jit covers every graph.
+- depth blocks are dense over all N frames instead of ``unique(ii)``
+  (frames without edges simply receive a zero update), removing the
+  data-dependent ``torch.unique`` from the compiled path.
+- scatter-adds use XLA scatter (``.at[].add``) instead of torch_scatter.
+
+The algorithm is otherwise the same Schur-complement Gauss-Newton step:
+build per-edge Hessian blocks from (Ji, Jj, Jz), scatter into the
+pose-pose/pose-depth system, eliminate depths, solve for poses, retract.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lgu_slam_tpu.geom import projective as pops
+from lgu_slam_tpu.geom.chol import block_solve, schur_solve
+from lgu_slam_tpu.lie import se3_retr
+
+WEIGHT_SCALE = 0.001  # geom/ba.py:43
+
+
+def _scatter_mat(A: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray, n: int, m: int):
+    """Scatter per-edge blocks A [B, E, ...] into [B, n*m, ...] at ii*m+jj.
+
+    Out-of-range indices (padding / fixed poses) contribute zero
+    (safe_scatter_add_mat analog, geom/ba.py:12-14).
+    """
+    valid = (ii >= 0) & (jj >= 0) & (ii < n) & (jj < m)
+    idx = jnp.where(valid, ii * m + jj, 0)
+    A = jnp.where(valid.reshape((1, -1) + (1,) * (A.ndim - 2)), A, 0.0)
+    out = jnp.zeros((A.shape[0], n * m) + A.shape[2:], dtype=A.dtype)
+    return out.at[:, idx].add(A)
+
+
+def _scatter_vec(b: jnp.ndarray, ii: jnp.ndarray, n: int):
+    valid = (ii >= 0) & (ii < n)
+    idx = jnp.where(valid, ii, 0)
+    b = jnp.where(valid.reshape((1, -1) + (1,) * (b.ndim - 2)), b, 0.0)
+    out = jnp.zeros((b.shape[0], n) + b.shape[2:], dtype=b.dtype)
+    return out.at[:, idx].add(b)
+
+
+def ba(
+    target: jnp.ndarray,
+    weight: jnp.ndarray,
+    eta: jnp.ndarray,
+    poses: jnp.ndarray,
+    disps: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    fixedp: int = 1,
+    edge_mask: jnp.ndarray | None = None,
+):
+    """One full-BA Gauss-Newton step (geom/ba.py:31-106).
+
+    Shapes: poses [B, N, 7], disps [B, N, H, W], intrinsics [B, N, 4],
+    target/weight [B, E, H, W, 2], eta [B, N, H, W] (per-frame damping from
+    GraphAgg), ii/jj [E] static-padded edge lists, edge_mask [E] optional.
+    Returns updated (poses, disps).
+    """
+    B, N, ht, wd = disps.shape
+    E = ii.shape[0]
+    D = 6
+    HW = ht * wd
+
+    def per_batch(poses_b, disps_b, intr_b, target_b, weight_b, eta_b):
+        coords, valid, (Ji, Jj, Jz) = pops.projective_transform(
+            poses_b, disps_b, intr_b, ii, jj, jacobian=True
+        )
+
+        r = (target_b - coords).reshape(E, -1, 1)  # [E, HW*2, 1]
+        w = WEIGHT_SCALE * (valid * weight_b).reshape(E, -1, 1)
+        if edge_mask is not None:
+            w = w * edge_mask.astype(w.dtype).reshape(E, 1, 1)
+
+        Ji = Ji.reshape(E, -1, D)
+        Jj = Jj.reshape(E, -1, D)
+        wJiT = (w * Ji).transpose(0, 2, 1)  # [E, D, HW*2]
+        wJjT = (w * Jj).transpose(0, 2, 1)
+        Jz_ = Jz.reshape(E, HW, 2)
+
+        Hii = jnp.matmul(wJiT, Ji)
+        Hij = jnp.matmul(wJiT, Jj)
+        Hji = jnp.matmul(wJjT, Ji)
+        Hjj = jnp.matmul(wJjT, Jj)
+
+        vi = jnp.matmul(wJiT, r)[..., 0]
+        vj = jnp.matmul(wJjT, r)[..., 0]
+
+        Ei = jnp.sum(wJiT.reshape(E, D, HW, 2) * Jz_[:, None], axis=-1)  # [E,D,HW]
+        Ej = jnp.sum(wJjT.reshape(E, D, HW, 2) * Jz_[:, None], axis=-1)
+
+        w2 = w.reshape(E, HW, 2)
+        r2 = r.reshape(E, HW, 2)
+        wk = jnp.sum(w2 * r2 * Jz_, axis=-1)  # [E, HW]
+        Ck = jnp.sum(w2 * Jz_ * Jz_, axis=-1)
+
+        return Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, wk, Ck
+
+    # vmap-free batched build (B is typically small; reshape instead)
+    import jax  # noqa: PLC0415
+
+    Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, wk, Ck = jax.vmap(per_batch)(
+        poses, disps, intrinsics, target, weight, eta
+    )
+
+    # dense depth blocks over all N frames; poses above fixedp
+    P = N - fixedp
+    iip = ii - fixedp
+    jjp = jj - fixedp
+
+    H = (
+        _scatter_mat(Hii, iip, iip, P, P)
+        + _scatter_mat(Hij, iip, jjp, P, P)
+        + _scatter_mat(Hji, jjp, iip, P, P)
+        + _scatter_mat(Hjj, jjp, jjp, P, P)
+    ).reshape(B, P, P, D, D)
+
+    Em = (
+        _scatter_mat(Ei, iip, ii, P, N) + _scatter_mat(Ej, jjp, ii, P, N)
+    ).reshape(B, P, N, D, HW)
+
+    v = _scatter_vec(vi, iip, P) + _scatter_vec(vj, jjp, P)
+
+    C = _scatter_vec(Ck, ii, N)
+    w_ = _scatter_vec(wk, ii, N)
+
+    C = C + eta.reshape(B, N, HW) + 1e-7
+
+    dx, dz = schur_solve(H, Em, C, v, w_)
+
+    # failed/ill-posed solves must not poison the state: a non-finite update
+    # becomes a zero update (intent of the reference's CholeskySolver
+    # try/except fallback, geom/chol.py:8-19, extended to the depth path)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
+
+    # retraction
+    dx_full = jnp.zeros((B, N, D), dtype=dx.dtype).at[:, fixedp:].set(dx)
+    poses = se3_retr(poses, dx_full)
+    disps = disps + dz.reshape(B, N, ht, wd)
+    disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
+    disps = jnp.maximum(disps, 0.0)
+    return poses, disps
+
+
+def moba(
+    target: jnp.ndarray,
+    weight: jnp.ndarray,
+    poses: jnp.ndarray,
+    disps: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    fixedp: int = 1,
+    edge_mask: jnp.ndarray | None = None,
+):
+    """Motion-only BA step (geom/ba.py:109-157)."""
+    import jax  # noqa: PLC0415
+
+    B, N = poses.shape[:2]
+    E = ii.shape[0]
+    D = 6
+
+    def per_batch(poses_b, disps_b, intr_b, target_b, weight_b):
+        coords, valid, (Ji, Jj, _) = pops.projective_transform(
+            poses_b, disps_b, intr_b, ii, jj, jacobian=True
+        )
+        r = (target_b - coords).reshape(E, -1, 1)
+        w = WEIGHT_SCALE * (valid * weight_b).reshape(E, -1, 1)
+        if edge_mask is not None:
+            w = w * edge_mask.astype(w.dtype).reshape(E, 1, 1)
+        Ji = Ji.reshape(E, -1, D)
+        Jj = Jj.reshape(E, -1, D)
+        wJiT = (w * Ji).transpose(0, 2, 1)
+        wJjT = (w * Jj).transpose(0, 2, 1)
+        return (
+            jnp.matmul(wJiT, Ji),
+            jnp.matmul(wJiT, Jj),
+            jnp.matmul(wJjT, Ji),
+            jnp.matmul(wJjT, Jj),
+            jnp.matmul(wJiT, r)[..., 0],
+            jnp.matmul(wJjT, r)[..., 0],
+        )
+
+    Hii, Hij, Hji, Hjj, vi, vj = jax.vmap(per_batch)(
+        poses, disps, intrinsics, target, weight
+    )
+
+    P = N - fixedp
+    iip = ii - fixedp
+    jjp = jj - fixedp
+
+    H = (
+        _scatter_mat(Hii, iip, iip, P, P)
+        + _scatter_mat(Hij, iip, jjp, P, P)
+        + _scatter_mat(Hji, jjp, iip, P, P)
+        + _scatter_mat(Hjj, jjp, jjp, P, P)
+    ).reshape(B, P, P, D, D)
+    v = _scatter_vec(vi, iip, P) + _scatter_vec(vj, jjp, P)
+
+    dx = block_solve(H, v)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    dx_full = jnp.zeros((B, N, D), dtype=dx.dtype).at[:, fixedp:].set(dx)
+    return se3_retr(poses, dx_full)
