@@ -57,6 +57,8 @@ def ba(
     jj: jnp.ndarray,
     fixedp: int = 1,
     edge_mask: jnp.ndarray | None = None,
+    ep: float = 0.1,
+    lm: float = 1e-4,
 ):
     """One full-BA Gauss-Newton step (geom/ba.py:31-106).
 
@@ -134,7 +136,7 @@ def ba(
 
     C = C + eta.reshape(B, N, HW) + 1e-7
 
-    dx, dz = schur_solve(H, Em, C, v, w_)
+    dx, dz = schur_solve(H, Em, C, v, w_, ep=ep, lm=lm)
 
     # failed/ill-posed solves must not poison the state: a non-finite update
     # becomes a zero update (intent of the reference's CholeskySolver
