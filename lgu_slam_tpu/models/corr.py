@@ -1,0 +1,277 @@
+"""Correlation pyramid construction + deformable lookup (reference:
+droid_slam/modules/corr.py).
+
+Two implementations, mirroring the reference:
+
+- **Volume path** (frontend / motion filter / training): materialize the
+  all-pairs volume, apply the Gaussian uncertainty mask, build a 4-level
+  avg-pool pyramid, then do deformable lookups per level
+  (corr.py:52-152 ``CorrBlock``).
+- **Fused low-memory path** (backend): compute windowed correlations
+  directly from feature maps without materializing the O(H^2 W^2) volume
+  (corr.py:155-249 ``AltCorrBlock`` + the altcorr/lowMem_defSample CUDA
+  kernels).  Note the reference applies *no* Gaussian mask on this path.
+
+All functions are pure; the pyramid is a pytree the caller owns (the SLAM
+factor graph stores it in padded edge-slot buffers).
+
+Design deviation (documented): the reference's ``CorrBlock.__call__``
+multiplies the stored level-1 offsets by the variance-gate *in place*, so
+repeated lookups compound the gate (corr.py:99).  Here the gate is applied
+per lookup (pure), which is the evidently intended semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lgu_slam_tpu.ops.sampler import corr_index, defcorr_index
+
+NUM_LEVELS = 4
+RADIUS = 3
+
+
+class CorrPyramid(NamedTuple):
+    """Per-edge correlation state (all arrays lead with the edge axis)."""
+
+    levels: tuple  # level i: [E, H, W, H/2^i, W/2^i]
+    offsets: tuple  # (off0, off1): [E, H, W, 7, 7, 2]
+    mean: jnp.ndarray  # [E, H, W, 2] Gaussian means (training loss)
+    theta: jnp.ndarray  # [E, H, W] 2*det (training loss)
+
+
+def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs feature correlation (corr.py:144-152).
+
+    fmap1/fmap2: [E, H, W, C] -> [E, H, W, H, W] (f1/4 . f2/4).
+    """
+    e, h, w, c = fmap1.shape
+    a = (fmap1 / 4.0).reshape(e, h * w, c)
+    b = (fmap2 / 4.0).reshape(e, h * w, c)
+    corr = jnp.einsum(
+        "eic,ejc->eij", a, b, preferred_element_type=jnp.float32
+    )
+    return corr.reshape(e, h, w, h, w)
+
+
+def _avg_pool_last2(vol: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool over the last two (target) dims of the volume."""
+    *lead, h2, w2 = vol.shape
+    v = vol.reshape(-1, h2 // 2, 2, w2 // 2, 2)
+    v = v.mean(axis=(2, 4))
+    return v.reshape(*lead, h2 // 2, w2 // 2)
+
+
+def _map_normalize_nhwc(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """per_Corr_Normalization over (H, W, C) per batch (corr.py:44-51)."""
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x, axis=(1, 2, 3), keepdims=True) + eps
+    return (x - mean) / jnp.sqrt(var)
+
+
+def fpn_offsets(ofs_map_fn, ofs_residual_fn, t: jnp.ndarray):
+    """FPN offset fields for pyramid levels 0/1 (corr.py:117-135).
+
+    t: [E, H, W, 256] concatenated feature pair.  ``ofs_map_fn`` /
+    ``ofs_residual_fn`` are bound 3x3 conv applies (256 -> 98).
+    Returns (off0, off1) with shape [E, H, W, 7, 7, 2]; levels 2/3 use
+    zeros (and are detached in the reference).
+    """
+    e, h, w, _ = t.shape
+    o0 = ofs_map_fn(t)  # [E, H, W, 98]
+    t1 = t.reshape(e, h // 2, 2, w // 2, 2, t.shape[-1]).mean(axis=(2, 4))
+    o1 = ofs_residual_fn(t1)
+    o1 = jax.image.resize(o1, (e, h, w, o1.shape[-1]), method="nearest")
+
+    o0 = jnp.tanh(_map_normalize_nhwc(o0)) * 4.0
+    o1 = (jnp.tanh(_map_normalize_nhwc(o1)) * 4.0 + o0) / 2.0
+    rd = 2 * RADIUS + 1
+    return (
+        o0.reshape(e, h, w, rd, rd, 2),
+        o1.reshape(e, h, w, rd, rd, 2),
+    )
+
+
+def build_corr_pyramid(
+    ga_fn,
+    ofs_map_fn,
+    ofs_residual_fn,
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    volume_dtype=jnp.float32,
+) -> CorrPyramid:
+    """Full CorrBlock construction (corr.py:53-86).
+
+    fmap1/fmap2: [E, H, W, 128].  ``ga_fn(t_nhwc, corr)`` is the bound
+    GaussianMask apply.
+    """
+    corr = all_pairs_correlation(fmap1, fmap2)  # [E,H,W,H,W] fp32
+
+    t = jnp.concatenate([fmap1, fmap2], axis=-1)  # [E,H,W,256]
+    off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
+
+    corr, mean, det = ga_fn(t, corr)
+    theta = 2.0 * det
+
+    levels = [corr.astype(volume_dtype)]
+    v = corr
+    for _ in range(NUM_LEVELS - 1):
+        v = _avg_pool_last2(v)
+        levels.append(v.astype(volume_dtype))
+
+    return CorrPyramid(tuple(levels), (off0, off1), mean, theta)
+
+
+def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """Deformable pyramid lookup (corr.py:88-109).
+
+    coords: [E, H, W, 2] (x, y) at 1/8 resolution.
+    Returns [E, H, W, 196] correlation features.
+    """
+    # level-1 variance gate of the deformable offsets (corr.py:94-99)
+    probe = corr_index(
+        pyr.levels[1].astype(jnp.float32), coords / 2.0, 1
+    )  # [E, 9, H, W]
+    var = jnp.var(probe, axis=1, ddof=1)  # torch.var is unbiased
+    gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E,H,W,1,1,1]
+
+    off0, off1 = pyr.offsets
+    offs = (off0, off1 * gate, jnp.zeros_like(off0), jnp.zeros_like(off0))
+
+    out = []
+    for i in range(NUM_LEVELS):
+        c = defcorr_index(
+            pyr.levels[i].astype(jnp.float32),
+            coords / (2.0 ** i),
+            offs[i],
+            RADIUS,
+        )  # [E, 49, H, W]
+        out.append(c)
+    feats = jnp.concatenate(out, axis=1)  # [E, 196, H, W]
+    return feats.transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# fused low-memory path (backend AltCorrBlock)
+# ---------------------------------------------------------------------------
+
+def build_fmap_pyramid(fmaps: jnp.ndarray):
+    """Average-pool pyramid of feature maps (corr.py:164-172).
+
+    fmaps: [N, H, W, C] -> tuple of [N, H/2^i, W/2^i, C], pre-scaled by 1/4.
+    """
+    levels = [fmaps / 4.0]
+    x = levels[0]
+    for _ in range(NUM_LEVELS - 1):
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        levels.append(x)
+    return tuple(levels)
+
+
+def _fused_tap_dot(f1, f2, px, py):
+    """corr(b, y, x) = <f1[b,y,x], bilinear(f2)[b, py, px]> with the
+    reference boundary rules (lowMem_defSample.cu).
+
+    f1: [E, H1, W1, C]; f2: [E, H2, W2, C]; px/py: [E, H1, W1].
+    """
+    e, h2, w2, c = f2.shape
+    x1 = jnp.floor(px)
+    y1 = jnp.floor(py)
+    dx = (px - x1)[..., None]
+    dy = (py - y1)[..., None]
+    x1 = x1.astype(jnp.int32)
+    y1 = y1.astype(jnp.int32)
+    base_ok = (x1 >= 0) & (x1 < w2) & (y1 >= 0) & (y1 < h2)
+
+    f2f = f2.reshape(e, h2 * w2, c)
+
+    def corner(iy, ix):
+        ok = (iy >= 0) & (iy < h2) & (ix >= 0) & (ix < w2)
+        idx = jnp.where(ok, iy * w2 + ix, 0)
+        g = jnp.take_along_axis(
+            f2f, idx.reshape(e, -1, 1), axis=1
+        ).reshape(f1.shape[:3] + (c,))
+        return g * ok[..., None]
+
+    v = (
+        corner(y1, x1) * (1 - dy) * (1 - dx)
+        + corner(y1, x1 + 1) * (1 - dy) * dx
+        + corner(y1 + 1, x1) * dy * (1 - dx)
+        + corner(y1 + 1, x1 + 1) * dy * dx
+    )
+    out = jnp.sum(f1 * v, axis=-1)
+    return jnp.where(base_ok, out, 0.0)
+
+
+def alt_corr_level(
+    f1: jnp.ndarray,
+    f2_lvl: jnp.ndarray,
+    coords_lvl: jnp.ndarray,
+    offsets: jnp.ndarray,
+    radius: int = RADIUS,
+) -> jnp.ndarray:
+    """Fused deformable correlation at one pyramid level.
+
+    f1: [E, H1, W1, C] (level-0 features / 4); f2_lvl: [E, H2, W2, C];
+    coords_lvl: [E, H1, W1, 2] in level pixels; offsets: [E,H1,W1,rd,rd,2].
+    Returns [E, rd*rd, H1, W1].  Scans over taps to bound memory at
+    4 corner-gathers of [E, H1, W1, C] per step.
+    """
+    rd = 2 * radius + 1
+    # center tap offset forced to zero (value); gradient path not needed on
+    # this no-grad backend path
+    offsets = offsets.at[..., radius, radius, :].set(0.0)
+    offs = offsets.reshape(offsets.shape[:3] + (rd * rd, 2))
+
+    di = jnp.repeat(jnp.arange(rd) - radius, rd)  # x taps (channel i*rd+j)
+    dj = jnp.tile(jnp.arange(rd) - radius, rd)
+
+    def tap(k):
+        px = coords_lvl[..., 0] + offs[..., k, 0] + di[k]
+        py = coords_lvl[..., 1] + offs[..., k, 1] + dj[k]
+        return _fused_tap_dot(f1, f2_lvl, px, py)
+
+    out = jax.lax.map(tap, jnp.arange(rd * rd))  # [K, E, H1, W1]
+    return out.transpose(1, 0, 2, 3)
+
+
+def alt_corr_lookup(
+    fmap_pyr,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    coords: jnp.ndarray,
+    ofs_map_fn,
+    ofs_residual_fn,
+) -> jnp.ndarray:
+    """Backend on-the-fly correlation features (corr.py:174-215).
+
+    fmap_pyr: tuple of [N, H/2^i, W/2^i, C] (from build_fmap_pyramid);
+    ii/jj: [E] frame indices (already rig-expanded by the caller);
+    coords: [E, H, W, 2].  Returns [E, H, W, 196].
+    """
+    f1 = fmap_pyr[0][ii]  # [E, H, W, C], scaled by 1/4
+    # offsets from the *unscaled* feature pair (corr.py:177-189 multiplies
+    # the /4 pyramid back by 4)
+    t = jnp.concatenate([f1 * 4.0, fmap_pyr[0][jj] * 4.0], axis=-1)
+    off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
+
+    # level-1 variance gate via plain 3x3 fused correlation (corr.py:201-206)
+    f2_l1 = fmap_pyr[1][jj]
+    zeros9 = jnp.zeros(coords.shape[:3] + (3, 3, 2), coords.dtype)
+    probe = alt_corr_level(f1, f2_l1, coords / 2.0, zeros9, radius=1)
+    var = jnp.var(probe.transpose(0, 2, 3, 1), axis=-1, ddof=1)
+    gate = jax.nn.sigmoid(var)[..., None, None, None]
+
+    offs = (off0, off1 * gate, jnp.zeros_like(off0), jnp.zeros_like(off0))
+
+    out = []
+    for lvl in range(NUM_LEVELS):
+        f2 = fmap_pyr[lvl][jj]
+        c = alt_corr_level(f1, f2, coords / (2.0 ** lvl), offs[lvl])
+        out.append(c)
+    feats = jnp.concatenate(out, axis=1)
+    return feats.transpose(0, 2, 3, 1)

@@ -1,0 +1,80 @@
+"""Kolmogorov–Arnold (B-spline) linear layer (reference:
+droid_slam/modules/kan.py:6-238, "efficient-KAN" style).
+
+Output = base_weight @ silu(x) + spline_weight' @ B(x), where B(x) are
+Cox–de-Boor B-spline bases over a fixed per-feature grid.  The grid is a
+non-trainable constant here (the reference's ``update_grid`` is an offline
+utility it never invokes during SLAM training).
+
+The basis recursion is a short static unroll (spline_order iterations) of
+pure elementwise ops — XLA fuses it; the two matmuls land on the MXU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def bspline_bases(
+    x: jnp.ndarray, grid: jnp.ndarray, spline_order: int
+) -> jnp.ndarray:
+    """Cox–de-Boor bases (kan.py:78-111).
+
+    x: [B, I]; grid: [I, G + 2*order + 1].
+    Returns [B, I, G + order].
+    """
+    x = x[..., None]  # [B, I, 1]
+    bases = ((x >= grid[:, :-1]) & (x < grid[:, 1:])).astype(x.dtype)
+    for k in range(1, spline_order + 1):
+        left = (x - grid[:, : -(k + 1)]) / (grid[:, k:-1] - grid[:, : -(k + 1)])
+        right = (grid[:, k + 1 :] - x) / (grid[:, k + 1 :] - grid[:, 1:-k])
+        bases = left * bases[..., :-1] + right * bases[..., 1:]
+    return bases
+
+
+class KANLinear(nn.Module):
+    """Spline + base linear layer (kan.py:153-166).
+
+    in/out: [..., in_features] -> [..., out_features].
+    """
+
+    in_features: int
+    out_features: int
+    grid_size: int = 3
+    spline_order: int = 3
+    grid_range: tuple = (-1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, x):
+        I, O = self.in_features, self.out_features
+        G, K = self.grid_size, self.spline_order
+
+        h = (self.grid_range[1] - self.grid_range[0]) / G
+        grid = jnp.asarray(
+            np.tile(
+                np.arange(-K, G + K + 1) * h + self.grid_range[0], (I, 1)
+            ).astype(np.float32)
+        )
+
+        base_w = self.param(
+            "base_weight", nn.initializers.lecun_normal(), (I, O)
+        )
+        spline_w = self.param(
+            "spline_weight",
+            nn.initializers.normal(0.02),
+            (I, G + K, O),
+        )
+        spline_scale = self.param(
+            "spline_scaler", nn.initializers.lecun_normal(), (I, O)
+        )
+
+        shape = x.shape
+        x2 = x.reshape(-1, I)
+        base_out = nn.silu(x2) @ base_w
+        bases = bspline_bases(x2, grid, K)  # [B, I, G+K]
+        scaled_spline = spline_w * spline_scale[:, None, :]  # [I, G+K, O]
+        spline_out = jnp.einsum("big,igo->bo", bases, scaled_spline)
+        out = base_out + spline_out
+        return out.reshape(shape[:-1] + (O,))
