@@ -58,11 +58,13 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
 
 
 def _avg_pool_last2(vol: jnp.ndarray) -> jnp.ndarray:
-    """2x2 average pool over the last two (target) dims of the volume."""
+    """2x2/stride-2 average pool over the last two (target) dims, flooring
+    odd extents like F.avg_pool2d (TUM-size feature maps are odd)."""
     *lead, h2, w2 = vol.shape
-    v = vol.reshape(-1, h2 // 2, 2, w2 // 2, 2)
-    v = v.mean(axis=(2, 4))
-    return v.reshape(*lead, h2 // 2, w2 // 2)
+    ho, wo = h2 // 2, w2 // 2
+    v = vol[..., : ho * 2, : wo * 2]
+    v = v.reshape(-1, ho, 2, wo, 2).mean(axis=(2, 4))
+    return v.reshape(*lead, ho, wo)
 
 
 def _map_normalize_nhwc(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -82,7 +84,9 @@ def fpn_offsets(ofs_map_fn, ofs_residual_fn, t: jnp.ndarray):
     """
     e, h, w, _ = t.shape
     o0 = ofs_map_fn(t)  # [E, H, W, 98]
-    t1 = t.reshape(e, h // 2, 2, w // 2, 2, t.shape[-1]).mean(axis=(2, 4))
+    t1 = t[:, : h // 2 * 2, : w // 2 * 2].reshape(
+        e, h // 2, 2, w // 2, 2, t.shape[-1]
+    ).mean(axis=(2, 4))
     o1 = ofs_residual_fn(t1)
     o1 = jax.image.resize(o1, (e, h, w, o1.shape[-1]), method="nearest")
 
@@ -167,7 +171,9 @@ def build_fmap_pyramid(fmaps: jnp.ndarray):
     x = levels[0]
     for _ in range(NUM_LEVELS - 1):
         n, h, w, c = x.shape
-        x = x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        x = x[:, : h // 2 * 2, : w // 2 * 2].reshape(
+            n, h // 2, 2, w // 2, 2, c
+        ).mean(axis=(2, 4))
         levels.append(x)
     return tuple(levels)
 

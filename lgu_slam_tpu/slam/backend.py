@@ -1,0 +1,51 @@
+"""Backend: one-shot global bundle adjustment over all keyframes
+(reference: droid_slam/droid_backend.py)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from lgu_slam_tpu.models.net import LGUNet
+from lgu_slam_tpu.slam.factor_graph import FactorGraph
+from lgu_slam_tpu.slam.state import Video, video_normalize
+from lgu_slam_tpu.utils.config import SLAMConfig
+
+
+class Backend:
+    def __init__(self, net_def: LGUNet, params, video: Video, cfg: SLAMConfig):
+        self.net_def = net_def
+        self.params = params
+        self.video = video
+        self.cfg = cfg
+
+    def __call__(self, steps=12):
+        """droid_backend.py:26-43."""
+        cfg = self.cfg
+        t = self.video.counter
+        if t < 2:
+            return
+
+        has_sens = bool(
+            jnp.any(self.video.state.disps_sens[:t] > 0)
+        )
+        if not self.video.stereo and not has_sens:
+            self.video.state = video_normalize(
+                self.video.state, jnp.int32(t)
+            )
+            self.video.dirty[:t] = True
+
+        max_factors = min(16 * t, cfg.backend_edge_cap)
+        graph = FactorGraph(
+            self.net_def, self.params, self.video, cfg, corr_impl="alt",
+            max_factors=max_factors,
+            edge_bucket=cfg.backend_edge_cap,
+            inactive_bucket=8,
+        )
+        graph.add_proximity_factors(
+            rad=cfg.backend_radius, nms=cfg.backend_nms,
+            thresh=cfg.backend_thresh, beta=cfg.beta,
+        )
+        graph.update_lowmem(steps=steps)
+        graph.clear_edges()
+        self.video.dirty[:t] = True

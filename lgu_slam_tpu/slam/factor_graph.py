@@ -1,0 +1,606 @@
+"""Factor graph over keyframes (reference: droid_slam/factor_graph.py).
+
+Host/device split (SURVEY.md §7.3 hard part #2):
+
+- **Host (NumPy)**: edge topology — add/dedup (factor_graph.py:48-60),
+  age-based and NMS-based edge selection (:319-383), removal/compaction,
+  keyframe deletion re-indexing (:170-200).  These are O(E) scalar loops on
+  tiny arrays; keeping them off-device avoids data-dependent shapes in jit.
+- **Device (jit)**: everything per-pixel — correlation pyramid rebuild,
+  reprojection, update-operator application, DBA — over *padded edge-slot
+  buffers* of static bucket sizes, masked by ``edge_mask``.
+
+Instead of the reference's incremental ``CorrBlock.cat`` bookkeeping, the
+correlation pyramids for all active edges are rebuilt in one jitted batch
+whenever the topology changes (an all-pairs matmul per edge — MXU work
+measured in milliseconds) and cached across the 8/16 GRU iterations of a
+frontend step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgu_slam_tpu.geom.dba import DbaPlan, dba_step
+from lgu_slam_tpu.geom.projective import coords_grid, projective_transform
+from lgu_slam_tpu.models.corr import CorrPyramid, build_fmap_pyramid
+from lgu_slam_tpu.models.net import LGUNet
+from lgu_slam_tpu.slam.state import Video, video_remove_keyframe
+from lgu_slam_tpu.utils.config import SLAMConfig
+
+
+# ---------------------------------------------------------------------------
+# jitted device kernels (module-level so the cache is shared across graphs)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("net_def",))
+def _build_pyramids(net_def, params, fmaps, ii, jj, stereo_c):
+    """Rebuild corr pyramids for all edge slots from cached video features.
+
+    fmaps: [N, rig, h, w, 128]; ii/jj [E]; stereo_c [E] (1 for stereo self
+    edges — selects the right rig camera, factor_graph.py:118-120).
+    """
+    f1 = fmaps[ii, 0].astype(jnp.float32)
+    f2 = fmaps[jj, stereo_c].astype(jnp.float32)
+    return net_def.apply(
+        {"params": params}, f1, f2, method=LGUNet.build_corr
+    )
+
+
+@partial(jax.jit, static_argnames=("net_def",))
+def _update_op(net_def, params, video_state, pyr, net, ii, jj, target,
+               edge_mask):
+    """One GRU update over all active edge slots (factor_graph.py:203-224).
+
+    Returns (net', target', weight', eta, upmask, frame_mask).
+    """
+    coords1, _ = projective_transform(
+        video_state.poses, video_state.disps, video_state.intrinsics, ii, jj
+    )
+    ht, wd = coords1.shape[1:3]
+    coords0 = coords_grid(ht, wd)
+    motn = jnp.concatenate(
+        [coords1 - coords0, target - coords1], axis=-1
+    )
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    corr = net_def.apply(
+        {"params": params}, pyr, coords1, method=LGUNet.lookup
+    )
+
+    inp = video_state.inps[ii].astype(jnp.float32)
+    N = video_state.poses.shape[0]
+    net2, delta, weight, eta, upmask, frame_mask = net_def.apply(
+        {"params": params},
+        net[None], inp[None], corr[None], motn[None], ii, N, edge_mask,
+        method=LGUNet.update_step,
+    )
+
+    target2 = coords1 + delta[0].astype(jnp.float32)
+    weight2 = weight[0].astype(jnp.float32)
+    return net2[0], target2, weight2, eta[0], upmask[0], frame_mask
+
+
+@partial(jax.jit, static_argnames=("net_def",))
+def _alt_update_op(net_def, params, video_state, fmap_pyr, net, ii, jj,
+                   ii_rig, jj_rig, target, edge_mask):
+    """Low-memory update: fused on-the-fly correlation (update_lowmem body,
+    factor_graph.py:267-292).  ii/jj index keyframes; ii_rig/jj_rig are the
+    rig-expanded feature indices (factor_graph.py:279)."""
+    coords1, _ = projective_transform(
+        video_state.poses, video_state.disps, video_state.intrinsics, ii, jj
+    )
+    ht, wd = coords1.shape[1:3]
+    coords0 = coords_grid(ht, wd)
+    motn = jnp.clip(
+        jnp.concatenate([coords1 - coords0, target - coords1], axis=-1),
+        -64.0, 64.0,
+    )
+
+    corr = net_def.apply(
+        {"params": params}, fmap_pyr, ii_rig, jj_rig, coords1,
+        method=LGUNet.alt_corr,
+    )
+
+    inp = video_state.inps[ii].astype(jnp.float32)
+    N = video_state.poses.shape[0]
+    net2, delta, weight, eta, upmask, frame_mask = net_def.apply(
+        {"params": params},
+        net[None], inp[None], corr[None], motn[None], ii, N, edge_mask,
+        method=LGUNet.update_step,
+    )
+    target2 = coords1 + delta[0].astype(jnp.float32)
+    return net2[0], target2, weight2_cast(weight[0]), eta[0], upmask[0], frame_mask
+
+
+def weight2_cast(w):
+    return w.astype(jnp.float32)
+
+
+@jax.jit
+def _compact(buffers, perm, keep_mask):
+    """Permute edge-slot buffers (host-computed permutation) and zero the
+    slots beyond the surviving count."""
+
+    def one(x):
+        out = x[perm]
+        m = keep_mask.reshape((-1,) + (1,) * (out.ndim - 1))
+        return out * m.astype(out.dtype)
+
+    return jax.tree_util.tree_map(one, buffers)
+
+
+@jax.jit
+def _update_damping(damping, eta, frame_mask):
+    return jnp.where(frame_mask[:, None, None], eta, damping)
+
+
+class FactorGraph:
+    """Padded-buffer factor graph bound to a Video and an LGUNet."""
+
+    def __init__(
+        self,
+        net_def: LGUNet,
+        params,
+        video: Video,
+        cfg: SLAMConfig,
+        corr_impl: str = "volume",
+        max_factors: int = -1,
+        edge_bucket: int | None = None,
+        inactive_bucket: int | None = None,
+    ):
+        self.net_def = net_def
+        self.params = params
+        self.video = video
+        self.cfg = cfg
+        self.corr_impl = corr_impl
+        self.max_factors = max_factors if max_factors > 0 else cfg.max_factors
+        self.E = edge_bucket or cfg.edge_bucket
+        self.EI = inactive_bucket or cfg.inactive_bucket
+
+        h, w = cfg.ht8, cfg.wd8
+
+        # host topology
+        self.ii = np.zeros(0, np.int32)
+        self.jj = np.zeros(0, np.int32)
+        self.age = np.zeros(0, np.int32)
+        self.ii_inac = np.zeros(0, np.int32)
+        self.jj_inac = np.zeros(0, np.int32)
+        self.ii_bad = np.zeros(0, np.int32)
+        self.jj_bad = np.zeros(0, np.int32)
+
+        # device edge-slot buffers (padded to E)
+        self.target = jnp.zeros((self.E, h, w, 2), jnp.float32)
+        self.weight = jnp.zeros((self.E, h, w, 2), jnp.float32)
+        self.net = jnp.zeros((self.E, h, w, 128), jnp.float32)
+        self.target_inac = jnp.zeros((self.EI, h, w, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((self.EI, h, w, 2), jnp.float32)
+
+        self.pyramid: CorrPyramid | None = None
+        self.fmap_pyr = None  # alt (low-memory) impl
+        self._pyr_dirty = True
+
+    # -- host-side helpers --------------------------------------------------
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.ii)
+
+    def _edge_arrays(self):
+        ii = np.zeros(self.E, np.int32)
+        jj = np.zeros(self.E, np.int32)
+        mask = np.zeros(self.E, np.float32)
+        n = self.n_edges
+        ii[:n] = self.ii
+        jj[:n] = self.jj
+        mask[:n] = 1.0
+        return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask)
+
+    def _dedup(self, ii, jj):
+        """Drop candidate edges already present (factor_graph.py:48-60)."""
+        existing = set(zip(self.ii.tolist(), self.jj.tolist()))
+        existing |= set(zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+        keep = [
+            k
+            for k, (i, j) in enumerate(zip(ii.tolist(), jj.tolist()))
+            if (i, j) not in existing
+        ]
+        return ii[keep], jj[keep]
+
+    # -- edge addition ------------------------------------------------------
+
+    def add_factors(self, ii, jj, remove: bool = False):
+        """Add edges (factor_graph.py:91-140)."""
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        ii, jj = self._dedup(ii, jj)
+        if ii.size == 0:
+            return
+
+        # capacity limit: evict oldest (factor_graph.py:107-112)
+        if (
+            self.max_factors > 0
+            and self.n_edges + ii.size > self.max_factors
+            and self.n_edges > 0
+            and remove
+        ):
+            order = np.argsort(self.age)[::-1]  # oldest = largest age
+            n_drop = min(
+                self.n_edges, self.n_edges + ii.size - self.max_factors
+            )
+            drop = np.zeros(self.n_edges, bool)
+            drop[order[:n_drop]] = True
+            self.rm_factors(drop, store=True)
+
+        space = self.E - self.n_edges
+        if ii.size > space:  # hard bucket cap: keep newest
+            ii, jj = ii[:space], jj[:space]
+            if ii.size == 0:
+                return
+
+        n0 = self.n_edges
+        n1 = n0 + ii.size
+        # seed target with current reprojection, zero weight (:128-130)
+        coords, _ = self.video.reproject(ii, jj)
+        idx = jnp.arange(n0, n1)
+        self.target = self.target.at[idx].set(coords)
+        self.weight = self.weight.at[idx].set(0.0)
+        self.net = self.net.at[idx].set(
+            self.video.state.nets[jnp.asarray(ii)].astype(jnp.float32)
+        )
+
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros(ii.size, np.int32)])
+        self._pyr_dirty = True
+
+    # -- edge removal / compaction -----------------------------------------
+
+    def rm_factors(self, mask, store: bool = False):
+        """Remove edges by boolean mask (factor_graph.py:142-167)."""
+        mask = np.asarray(mask, bool)
+        if mask.size != self.n_edges or not mask.any():
+            if mask.size != self.n_edges:
+                raise ValueError("mask size mismatch")
+            return
+        if store:
+            n_store = int(mask.sum())
+            n_inac = len(self.ii_inac)
+            n_keep_inac = min(n_store, self.EI - n_inac)
+            if n_keep_inac < n_store:
+                # inactive bucket overflow: drop oldest stored edges first
+                overflow = n_store - n_keep_inac
+                self.ii_inac = self.ii_inac[overflow:]
+                self.jj_inac = self.jj_inac[overflow:]
+                self.target_inac = jnp.roll(self.target_inac, -overflow, 0)
+                self.weight_inac = jnp.roll(self.weight_inac, -overflow, 0)
+                n_inac = len(self.ii_inac)
+            sel = np.where(mask)[0]
+            dst = jnp.arange(n_inac, n_inac + n_store)
+            self.target_inac = self.target_inac.at[dst].set(
+                self.target[jnp.asarray(sel)]
+            )
+            self.weight_inac = self.weight_inac.at[dst].set(
+                self.weight[jnp.asarray(sel)]
+            )
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
+
+        keep = ~mask
+        n_new = int(keep.sum())
+        perm = np.zeros(self.E, np.int32)
+        perm[:n_new] = np.where(keep)[0]
+        keep_mask = np.zeros(self.E, bool)
+        keep_mask[:n_new] = True
+        bufs = (self.target, self.weight, self.net)
+        self.target, self.weight, self.net = _compact(
+            bufs, jnp.asarray(perm), jnp.asarray(keep_mask)
+        )
+        self.ii = self.ii[keep]
+        self.jj = self.jj[keep]
+        self.age = self.age[keep]
+        self._pyr_dirty = True
+
+    def rm_keyframe(self, ix: int):
+        """Delete keyframe ix: shift video slot, re-index edges
+        (factor_graph.py:170-200)."""
+        self.video.state = video_remove_keyframe(self.video.state, jnp.int32(ix))
+        self.video.counter -= 1
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1, self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1, self.jj_inac)
+        if m.any():
+            keep = ~m
+            n_keep = int(keep.sum())
+            perm = np.zeros(self.EI, np.int32)
+            perm[:n_keep] = np.where(keep)[0]
+            keep_mask = np.zeros(self.EI, bool)
+            keep_mask[:n_keep] = True
+            self.target_inac, self.weight_inac = _compact(
+                (self.target_inac, self.weight_inac),
+                jnp.asarray(perm), jnp.asarray(keep_mask),
+            )
+            self.ii_inac = self.ii_inac[keep]
+            self.jj_inac = self.jj_inac[keep]
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+
+    def filter_edges(self):
+        """Drop low-confidence long-range edges (factor_graph.py:76-83)."""
+        if self.n_edges == 0:
+            return
+        conf = np.asarray(jnp.mean(self.weight[: self.n_edges], axis=(1, 2, 3)))
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def clear_edges(self):
+        if self.n_edges:
+            self.rm_factors(np.ones(self.n_edges, bool), store=False)
+
+    # -- correlation state --------------------------------------------------
+
+    def _ensure_pyramid(self):
+        if not self._pyr_dirty:
+            return
+        ii, jj, _ = self._edge_arrays()
+        if self.corr_impl == "volume":
+            rig = self.video.state.fmaps.shape[1]
+            c = np.zeros(self.E, np.int32)
+            c[: self.n_edges] = (self.ii == self.jj).astype(np.int32)
+            c = np.minimum(c, rig - 1)
+            self.pyramid = _build_pyramids(
+                self.net_def, self.params, self.video.state.fmaps, ii, jj,
+                jnp.asarray(c),
+            )
+        else:
+            num, rig = self.video.state.fmaps.shape[:2]
+            h, w = self.cfg.ht8, self.cfg.wd8
+            flat = self.video.state.fmaps.astype(jnp.float32).reshape(
+                num * rig, h, w, 128
+            )
+            self.fmap_pyr = build_fmap_pyramid(flat)
+        self._pyr_dirty = False
+
+    # -- update -------------------------------------------------------------
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
+               EP=1e-7, motion_only=False):
+        """One GRU + DBA update over the active graph
+        (factor_graph.py:203-252)."""
+        if self.n_edges == 0:
+            return
+        self._ensure_pyramid()
+        ii, jj, mask = self._edge_arrays()
+
+        net2, target, weight, eta, upmask, fmask = _update_op(
+            self.net_def, self.params, self.video.state, self.pyramid,
+            self.net, ii, jj, self.target, mask,
+        )
+        self.net = net2
+        self.target = target
+        self.weight = weight
+        self.video.state = self.video.state._replace(
+            damping=_update_damping(self.video.state.damping, eta, fmask)
+        )
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+
+        self._run_dba(t0, t1, itrs, use_inactive, EP, motion_only)
+        self.age += 1
+
+    def _run_dba(self, t0, t1, itrs, use_inactive, EP, motion_only):
+        """Assemble the (active ∪ inactive) edge set and run the DBA."""
+        cfg = self.cfg
+        if use_inactive and len(self.ii_inac) > 0:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            sel = np.where(m)[0]
+        else:
+            sel = np.zeros(0, np.int64)
+
+        E_dba = self.E + self.EI
+        ii = np.zeros(E_dba, np.int32)
+        jj = np.zeros(E_dba, np.int32)
+        emask = np.zeros(E_dba, np.float32)
+        n = self.n_edges
+        ii[:n] = self.ii
+        jj[:n] = self.jj
+        emask[:n] = 1.0
+        k = len(sel)
+        ii[self.E : self.E + k] = self.ii_inac[sel]
+        jj[self.E : self.E + k] = self.jj_inac[sel]
+        emask[self.E : self.E + k] = 1.0
+
+        sel_idx = jnp.asarray(
+            np.pad(sel, (0, self.EI - k)).astype(np.int32)
+        )
+        target = jnp.concatenate(
+            [self.target, self.target_inac[sel_idx]], axis=0
+        )
+        weight = jnp.concatenate(
+            [self.weight, self.weight_inac[sel_idx]], axis=0
+        )
+        # zero the padded inactive slots
+        wmask = jnp.asarray(emask)[:, None, None, None]
+        weight = weight * wmask
+
+        plan = DbaPlan.build(
+            ii[emask > 0], jj[emask > 0], cfg.buffer, edge_bucket=E_dba,
+        )
+        # plan's padded arrays are ordered [active..., inactive..., pad] —
+        # rebuild target/weight in that order:
+        order = np.where(emask > 0)[0]
+        order_p = np.pad(order, (0, E_dba - len(order))).astype(np.int32)
+        target = target[jnp.asarray(order_p)]
+        weight = weight[jnp.asarray(order_p)] * jnp.asarray(
+            plan.edge_mask
+        )[:, None, None, None]
+
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+
+        damping = 0.2 * self.video.state.damping + EP
+
+        s = self.video.state
+        P = cfg.pose_bucket if (t1 - t0) <= cfg.pose_bucket else cfg.buffer
+        poses, disps = dba_step(
+            s.poses, s.disps, s.intrinsics[0], s.disps_sens,
+            target, weight, damping,
+            jnp.asarray(plan.ii), jnp.asarray(plan.jj),
+            jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+            jnp.int32(t0), jnp.int32(t1),
+            P=P, iters=itrs, lm=cfg.dba_lm, ep=cfg.dba_ep,
+            motion_only=motion_only,
+        )
+        self.video.state = s._replace(
+            poses=poses, disps=jnp.maximum(disps, 1e-3)
+        )
+        self.video.dirty[t0:t1] = True
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8, EP=1e-7):
+        """Global low-memory optimization (factor_graph.py:255-302):
+        ``steps`` rounds of {chunked fused-correlation GRU updates over all
+        edges, then one global DBA}.  Edges are processed in fixed-size
+        slot chunks so each jit compiles once."""
+        if self.n_edges == 0:
+            return
+        t = self.video.counter
+        cfg = self.cfg
+        CH = cfg.backend_chunk
+        rig = self.video.state.fmaps.shape[1]
+
+        self.corr_impl = "alt"
+        self._pyr_dirty = True
+        self._ensure_pyramid()
+
+        n = self.n_edges
+        n_chunks = (n + CH - 1) // CH
+
+        for step in range(steps):
+            for c in range(n_chunks):
+                lo = c * CH
+                hi = min(lo + CH, n)
+                ii_c = np.zeros(CH, np.int32)
+                jj_c = np.zeros(CH, np.int32)
+                mask_c = np.zeros(CH, np.float32)
+                ii_c[: hi - lo] = self.ii[lo:hi]
+                jj_c[: hi - lo] = self.jj[lo:hi]
+                mask_c[: hi - lo] = 1.0
+                # rig-expanded feature indices (factor_graph.py:279)
+                ii_rig = rig * ii_c
+                jj_rig = rig * jj_c + (
+                    (ii_c == jj_c).astype(np.int32) if rig > 1 else 0
+                )
+
+                slot = jnp.arange(lo, lo + CH) % self.E  # slot gather pad-safe
+                net_c = self.net[slot]
+                target_c = self.target[slot]
+
+                net2, target2, weight2, eta, upmask, fmask = _alt_update_op(
+                    self.net_def, self.params, self.video.state,
+                    self.fmap_pyr, net_c,
+                    jnp.asarray(ii_c), jnp.asarray(jj_c),
+                    jnp.asarray(ii_rig), jnp.asarray(jj_rig),
+                    target_c, jnp.asarray(mask_c),
+                )
+                live = jnp.asarray(mask_c)[:, None, None, None] > 0
+                self.net = self.net.at[slot].set(
+                    jnp.where(live, net2, net_c)
+                )
+                self.target = self.target.at[slot].set(
+                    jnp.where(live, target2, target_c)
+                )
+                self.weight = self.weight.at[slot].set(
+                    jnp.where(live, weight2, self.weight[slot])
+                )
+                self.video.state = self.video.state._replace(
+                    damping=_update_damping(
+                        self.video.state.damping, eta, fmask
+                    )
+                )
+
+            self._run_dba(
+                1 if t0 is None else t0, t if t1 is None else t1,
+                itrs, use_inactive=False, EP=EP, motion_only=False,
+            )
+            self.video.dirty[:t] = True
+
+    # -- proximity edge selection (host-side NMS) ---------------------------
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        """(factor_graph.py:304-316)"""
+        ii, jj = np.meshgrid(
+            np.arange(t0, t1), np.arange(t0, t1), indexing="ij"
+        )
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        c = 1 if self.video.stereo else 0
+        keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        """Distance-ranked edge selection with NMS
+        (factor_graph.py:319-383)."""
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if ix.size == 0 or jx.size == 0:
+            return
+
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        d = self.video.distance(ii, jj, beta=beta).copy()
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def nms_suppress(i, j):
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if t0 <= i1 < t and t1 <= j1 < t:
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        for i, j in zip(ii1.tolist(), jj1.tolist()):
+            nms_suppress(i, j)
+
+        es = []
+        for i in range(t0, t):
+            if self.video.stereo:
+                es.append((i, i))
+                if t1 <= i:
+                    d[(i - t0) * (t - t1) + (i - t1)] = np.inf
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                if t1 <= j < t:
+                    d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        for k in np.argsort(d):
+            if d[k] > thresh:
+                continue
+            if len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            nms_suppress(i, j)
+
+        if es:
+            es = np.asarray(es, np.int32)
+            self.add_factors(es[:, 0], es[:, 1], remove)

@@ -1,0 +1,104 @@
+"""Non-keyframe pose filling (reference: droid_slam/trajectory_filler.py):
+linear SE(3) interpolation between bracketing keyframes followed by
+16-frame batches of motion-only BA against the keyframe map."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from lgu_slam_tpu import lie
+from lgu_slam_tpu.models.net import LGUNet
+from lgu_slam_tpu.slam.factor_graph import FactorGraph
+from lgu_slam_tpu.slam.motion_filter import _encode_features
+from lgu_slam_tpu.slam.state import Video
+from lgu_slam_tpu.utils.config import SLAMConfig
+
+BATCH = 16
+
+
+class TrajectoryFiller:
+    def __init__(self, net_def: LGUNet, params, video: Video, cfg: SLAMConfig):
+        self.net_def = net_def
+        self.params = params
+        self.video = video
+        self.cfg = cfg
+
+    def _fill(self, tstamps, images, intrinsics):
+        """trajectory_filler.py:37-79."""
+        video = self.video
+        N = video.counter
+        M = len(tstamps)
+
+        ts = np.asarray(video.state.tstamp[:N])
+        Ps = video.state.poses[:N]
+
+        tt = np.asarray(tstamps, np.float32)
+        t0 = np.asarray(
+            [max(int((ts <= t).sum()) - 1, 0) for t in tt], np.int32
+        )
+        t1 = np.where(t0 < N - 1, t0 + 1, t0)
+
+        dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3)[:, None]
+        dP = lie.se3_rel(Ps[jnp.asarray(t0)], Ps[jnp.asarray(t1)])
+        v = lie.se3_log(dP) / dt
+        w = v * jnp.asarray(tt - ts[t0])[:, None]
+        Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
+
+        # write fill frames into scratch slots [N, N+M)
+        fd = video.state.fmaps.dtype
+        s = video.state
+        idx = jnp.arange(N, N + M)
+        fmaps = jnp.stack(
+            [
+                _encode_features(self.net_def, self.params, jnp.asarray(im))
+                for im in images
+            ]
+        )
+        h, w8 = fmaps.shape[1:3]
+        s = s._replace(
+            tstamp=s.tstamp.at[idx].set(jnp.asarray(tt)),
+            poses=s.poses.at[idx].set(Gs),
+            disps=s.disps.at[idx].set(jnp.ones((M, h, w8))),
+            disps_sens=s.disps_sens.at[idx].set(jnp.zeros((M, h, w8))),
+            intrinsics=s.intrinsics.at[idx].set(
+                jnp.asarray(np.stack(intrinsics), jnp.float32) / 8.0
+            ),
+            fmaps=s.fmaps.at[idx, 0].set(fmaps.astype(fd)),
+        )
+        video.state = s
+        video.counter = N + M
+
+        graph = FactorGraph(
+            self.net_def, self.params, video, self.cfg,
+            corr_impl="volume", max_factors=4 * BATCH,
+            edge_bucket=2 * BATCH, inactive_bucket=8,
+        )
+        graph.add_factors(t0, np.arange(N, N + M))
+        graph.add_factors(t1, np.arange(N, N + M))
+
+        for _ in range(6):
+            graph.update(t0=N, t1=N + M, motion_only=True)
+
+        poses_out = np.asarray(video.state.poses[N : N + M])
+        video.counter = N
+        return [poses_out]
+
+    def __call__(self, image_stream):
+        """Fill every stream frame; returns the full camera trajectory
+        [T, 7] (world-to-camera, like video poses)."""
+        pose_list = []
+        tstamps, images, intrinsics = [], [], []
+        for item in image_stream:
+            t, image, intr = item[0], item[1], item[-1]
+            if hasattr(image, "ndim") and image.ndim == 4:
+                image = image[0]  # stereo: left camera only
+            tstamps.append(t)
+            images.append(image)
+            intrinsics.append(np.asarray(intr, np.float32))
+            if len(tstamps) == BATCH:
+                pose_list += self._fill(tstamps, images, intrinsics)
+                tstamps, images, intrinsics = [], [], []
+        if tstamps:
+            pose_list += self._fill(tstamps, images, intrinsics)
+        return np.concatenate(pose_list, axis=0)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Train LGUNet on TartanAir (reference: train.py).
+
+Data-parallel over all visible devices; Adam + one-cycle; random restarts
+with pose/disp carry-over; checkpoints every N steps.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default="lgu_tpu")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--iters", type=int, default=9)
+    p.add_argument("--steps", type=int, default=250000)
+    p.add_argument("--lr", type=float, default=1.3e-4)
+    p.add_argument("--clip", type=float, default=2.5)
+    p.add_argument("--n_frames", type=int, default=4)
+    p.add_argument("--fmin", type=float, default=8.0)
+    p.add_argument("--fmax", type=float, default=96.0)
+    p.add_argument("--restart_prob", type=float, default=0.2)
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lgu_slam_tpu.data.augmentation import RGBDAugmentor
+    from lgu_slam_tpu.data.tartan import dataset_factory
+    from lgu_slam_tpu.parallel.train_dp import (
+        make_data_mesh, make_optimizer, make_train_step, replicate,
+        shard_batch,
+    )
+    from lgu_slam_tpu.slam.system import init_params
+    from lgu_slam_tpu.utils.config import SLAMConfig, TrainConfig
+    from lgu_slam_tpu.utils.logger import Logger
+
+    tcfg = TrainConfig(
+        batch=args.batch, iters=args.iters, steps=args.steps, lr=args.lr,
+        clip=args.clip, n_frames=args.n_frames, fmin=args.fmin,
+        fmax=args.fmax, restart_prob=args.restart_prob,
+        ckpt_every=args.ckpt_every,
+    )
+
+    net, params = init_params(SLAMConfig(image_size=tcfg.image_size))
+    if args.ckpt:
+        with open(args.ckpt, "rb") as f:
+            params = pickle.load(f)["params"]
+
+    tx = make_optimizer(tcfg)
+    mesh = make_data_mesh()
+    params = replicate(params, mesh)
+    opt_state = tx.init(params)
+
+    db = dataset_factory(["tartan"], args.datapath, n_frames=tcfg.n_frames,
+                         fmin=tcfg.fmin, fmax=tcfg.fmax)
+    aug = RGBDAugmentor(crop_size=tcfg.image_size)
+    rng = np.random.default_rng(0)
+
+    # fixed chain graph (train.py:120-122; covisibility rebuild happens in
+    # the dataset's clip sampling)
+    N = tcfg.n_frames
+    ii = np.asarray(
+        [i for i in range(N) for j in range(N) if i != j and abs(i - j) <= 2]
+    )
+    jj = np.asarray(
+        [j for i in range(N) for j in range(N) if i != j and abs(i - j) <= 2]
+    )
+    step_fn = make_train_step(net, tx, tcfg, ii, jj)
+
+    logger = Logger(args.name)
+    os.makedirs("checkpoints", exist_ok=True)
+
+    total = 0
+    while total < tcfg.steps:
+        idx = rng.integers(0, len(db), size=tcfg.batch)
+        items = [aug(*db[int(i)]) for i in idx]
+        images = np.stack([it[0] for it in items]).astype(np.float32)
+        poses = np.stack([it[1] for it in items])
+        depths = np.stack([it[2] for it in items])
+        intr = np.stack([it[3] for it in items])
+        disps = np.where(depths > 0.01, 1.0 / np.maximum(depths, 0.01), 0.0)
+
+        batch = shard_batch((images, poses, disps, intr), mesh)
+        t0 = time.time()
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["step_time"] = time.time() - t0
+        total += 1
+        logger.push(metrics, total)
+
+        if total % tcfg.ckpt_every == 0:
+            path = f"checkpoints/{args.name}_{total:06d}.pkl"
+            with open(path, "wb") as f:
+                pickle.dump({"params": jax.device_get(params)}, f)
+            print("saved", path)
+
+
+if __name__ == "__main__":
+    main()
