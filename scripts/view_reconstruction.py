@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Export a saved reconstruction (.npz from scripts/demo.py) to a filtered
+point cloud .ply (reference: view_reconstruction.py)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reconstruction", required=True, help=".npz path")
+    p.add_argument("--out", default="reconstruction.ply")
+    p.add_argument("--filter_thresh", type=float, default=0.005)
+    args = p.parse_args()
+
+    from lgu_slam_tpu.slam.visualization import backproject_points, write_ply
+
+    data = np.load(args.reconstruction)
+    disps = data["disps"]
+    if disps.ndim == 3 and disps.shape[1] == data["images"].shape[1]:
+        disps8 = disps[:, 3::8, 3::8]  # full-res disps_up -> 1/8
+    else:
+        disps8 = disps
+    pts, colors = backproject_points(
+        data["poses"], disps8, data["intrinsics"][0],
+        images=data["images"], filter_thresh=args.filter_thresh,
+    )
+    write_ply(args.out, pts, colors)
+    print(f"{len(pts)} points -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
