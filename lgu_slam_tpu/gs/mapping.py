@@ -1,0 +1,179 @@
+"""SplaTAM-style mapping over a saved SLAM reconstruction (reference:
+to3DGS/executeSlam.py ``imt_3dgsSlam``:372-700 + loss/loss.py).
+
+Per frame: set the camera from the SLAM trajectory, densify where the
+rendered silhouette is low or the depth error is high (add_new_gaussians,
+:93-136), select overlapping keyframes (:539-552), then run N mapping
+iterations of Adam on RGB (L1+SSIM 0.8/0.2) + masked depth-L1 losses with
+periodic opacity pruning (:554-616).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lgu_slam_tpu.gs.params import GaussianMap, pointcloud_from_depth
+from lgu_slam_tpu.gs.render import render_rgbd
+from lgu_slam_tpu.gs.ssim import ssim
+
+
+@dataclass
+class GSConfig:
+    """(configs/replica/splatam.py essentials)"""
+
+    capacity: int = 400_000
+    map_every: int = 1
+    keyframe_every: int = 5
+    mapping_window_size: int = 24
+    mapping_iters: int = 60
+    sil_thres: float = 0.5
+    prune_every: int = 20
+    prune_opacity: float = 0.005
+    lr_means3D: float = 0.0001
+    lr_rgb: float = 0.0025
+    lr_rots: float = 0.001
+    lr_opacities: float = 0.05
+    lr_scales: float = 0.001
+    span: int = 6
+    k_max: int = 96
+    loss_im_l1: float = 0.8
+    loss_im_ssim: float = 0.2
+    loss_depth: float = 1.0
+
+
+def make_optimizer(cfg: GSConfig):
+    lrs = {
+        "means3D": cfg.lr_means3D,
+        "rgb_colors": cfg.lr_rgb,
+        "unnorm_rotations": cfg.lr_rots,
+        "logit_opacities": cfg.lr_opacities,
+        "log_scales": cfg.lr_scales,
+    }
+    return optax.multi_transform(
+        {k: optax.adam(v, eps=1e-15) for k, v in lrs.items()},
+        param_labels={k: k for k in lrs},
+    )
+
+
+def make_mapping_step(cfg: GSConfig, img_size):
+    """Jitted mapping iteration: render + loss + Adam update."""
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, alive, frame):
+        im_gt, depth_gt, w2c_rot, w2c_trans, intr = frame
+        img, depth, sil, _ = render_rgbd(
+            params, alive, w2c_rot, w2c_trans, intr, img_size,
+            span=cfg.span, k_max=cfg.k_max,
+        )
+        mask = (depth_gt > 0) & (sil > cfg.sil_thres)
+        mask = jax.lax.stop_gradient(mask)
+        depth_l1 = jnp.sum(
+            jnp.abs(depth_gt - depth) * mask
+        ) / jnp.maximum(jnp.sum(mask), 1.0)
+        im_l1 = jnp.mean(jnp.abs(img - im_gt))
+        im_ssim = 1.0 - ssim(img, im_gt)
+        loss = (
+            cfg.loss_depth * depth_l1
+            + cfg.loss_im_l1 * im_l1
+            + cfg.loss_im_ssim * im_ssim
+        )
+        return loss, (im_l1, depth_l1)
+
+    @jax.jit
+    def step(params, opt_state, alive, frame):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, alive, frame
+        )
+        # frozen (dead/padded) slots must not move
+        grads = jax.tree_util.tree_map(
+            lambda g: g * alive[:, None].astype(g.dtype), grads
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return tx, step
+
+
+@partial(jax.jit, static_argnames=("img_size", "span", "k_max"))
+def _silhouette_pass(params, alive, w2c_rot, w2c_trans, intr, img_size,
+                     span, k_max):
+    _, depth, sil, _ = render_rgbd(
+        params, alive, w2c_rot, w2c_trans, intr, img_size,
+        span=span, k_max=k_max,
+    )
+    return depth, sil
+
+
+class GaussianMapper:
+    """Drives the full mapping loop over a reconstruction."""
+
+    def __init__(self, cfg: GSConfig, img_size):
+        self.cfg = cfg
+        self.img_size = img_size
+        self.map = GaussianMap.create(cfg.capacity)
+        self.tx, self.step = make_mapping_step(cfg, img_size)
+        self.opt_state = None
+        self.keyframes = []
+
+    def _ensure_opt(self):
+        self.opt_state = self.tx.init(self.map.params)
+
+    def add_frame_gaussians(self, im, depth, w2c_rot, w2c_trans, intr,
+                            time_idx, pcd_mask=None):
+        """Densification by silhouette/depth error (executeSlam.py:93-136)."""
+        cfg = self.cfg
+        if self.map.count == 0:
+            non_presence = np.ones(depth.shape, bool)
+        else:
+            rdepth, sil = _silhouette_pass(
+                self.map.params, self.map.alive_device(),
+                w2c_rot, w2c_trans, intr, self.img_size, cfg.span, cfg.k_max,
+            )
+            rdepth = np.asarray(rdepth)
+            sil = np.asarray(sil)
+            derr = np.abs(np.asarray(depth) - rdepth) * (np.asarray(depth) > 0)
+            med = np.median(derr[derr > 0]) if (derr > 0).any() else 0.0
+            non_presence = (sil < cfg.sil_thres) | (
+                (rdepth > np.asarray(depth)) & (derr > 50 * med)
+            )
+        m = non_presence & (np.asarray(depth) > 0)
+        if pcd_mask is not None:
+            m &= pcd_mask
+        if not m.any():
+            return
+        c2w_rot = np.asarray(w2c_rot).T
+        c2w_trans = -c2w_rot @ np.asarray(w2c_trans)
+        pts, cols, msq = pointcloud_from_depth(
+            im, depth, intr, c2w_rot, c2w_trans, mask=m
+        )
+        self.map.add_points(pts, cols, msq, time_idx)
+        self._ensure_opt()
+
+    def map_frame(self, frames, iters=None):
+        """Run mapping iterations over the keyframe window; ``frames`` is a
+        list of (im, depth, w2c_rot, w2c_trans, intr)."""
+        cfg = self.cfg
+        iters = iters or cfg.mapping_iters
+        rng = np.random.default_rng(len(self.keyframes))
+        alive = self.map.alive_device()
+        losses = []
+        for it in range(iters):
+            f = frames[int(rng.integers(0, len(frames)))]
+            self.map.params, self.opt_state, loss, _ = self.step(
+                self.map.params, self.opt_state, alive, f
+            )
+            losses.append(float(loss))
+            if (it + 1) % cfg.prune_every == 0:
+                op = jax.nn.sigmoid(
+                    np.asarray(self.map.params["logit_opacities"][:, 0])
+                )
+                self.map.prune(op < cfg.prune_opacity)
+                alive = self.map.alive_device()
+        return losses

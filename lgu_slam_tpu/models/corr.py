@@ -106,27 +106,47 @@ def build_corr_pyramid(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
     volume_dtype=jnp.float32,
+    edge_chunk: int = 8,
 ) -> CorrPyramid:
     """Full CorrBlock construction (corr.py:53-86).
 
     fmap1/fmap2: [E, H, W, 128].  ``ga_fn(t_nhwc, corr)`` is the bound
     GaussianMask apply.
-    """
-    corr = all_pairs_correlation(fmap1, fmap2)  # [E,H,W,H,W] fp32
 
+    The O(E * (HW)^2) volume work is scanned in ``edge_chunk`` slices so
+    fp32 transients stay bounded (the pyramid itself is stored in
+    ``volume_dtype``); offsets/means are cheap and computed unchunked.
+    """
+    E = fmap1.shape[0]
     t = jnp.concatenate([fmap1, fmap2], axis=-1)  # [E,H,W,256]
     off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
 
-    corr, mean, det = ga_fn(t, corr)
-    theta = 2.0 * det
+    def chunk_fn(pair):
+        f1, f2 = pair
+        corr = all_pairs_correlation(f1, f2)  # [e,H,W,H,W] fp32
+        tt = jnp.concatenate([f1, f2], axis=-1)
+        corr, mean, det = ga_fn(tt, corr)
+        levels = [corr.astype(volume_dtype)]
+        v = corr
+        for _ in range(NUM_LEVELS - 1):
+            v = _avg_pool_last2(v)
+            levels.append(v.astype(volume_dtype))
+        return tuple(levels), mean, det
 
-    levels = [corr.astype(volume_dtype)]
-    v = corr
-    for _ in range(NUM_LEVELS - 1):
-        v = _avg_pool_last2(v)
-        levels.append(v.astype(volume_dtype))
+    if E % edge_chunk == 0 and E > edge_chunk:
+        n = E // edge_chunk
+        f1c = fmap1.reshape((n, edge_chunk) + fmap1.shape[1:])
+        f2c = fmap2.reshape((n, edge_chunk) + fmap2.shape[1:])
+        levels, mean, det = jax.lax.map(chunk_fn, (f1c, f2c))
+        levels = tuple(
+            l.reshape((E,) + l.shape[2:]) for l in levels
+        )
+        mean = mean.reshape((E,) + mean.shape[2:])
+        det = det.reshape((E,) + det.shape[2:])
+    else:
+        levels, mean, det = chunk_fn((fmap1, fmap2))
 
-    return CorrPyramid(tuple(levels), (off0, off1), mean, theta)
+    return CorrPyramid(levels, (off0, off1), mean, 2.0 * det)
 
 
 def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
@@ -136,9 +156,7 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     Returns [E, H, W, 196] correlation features.
     """
     # level-1 variance gate of the deformable offsets (corr.py:94-99)
-    probe = corr_index(
-        pyr.levels[1].astype(jnp.float32), coords / 2.0, 1
-    )  # [E, 9, H, W]
+    probe = corr_index(pyr.levels[1], coords / 2.0, 1)  # [E, 9, H, W]
     var = jnp.var(probe, axis=1, ddof=1)  # torch.var is unbiased
     gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E,H,W,1,1,1]
 
@@ -148,10 +166,7 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     out = []
     for i in range(NUM_LEVELS):
         c = defcorr_index(
-            pyr.levels[i].astype(jnp.float32),
-            coords / (2.0 ** i),
-            offs[i],
-            RADIUS,
+            pyr.levels[i], coords / (2.0 ** i), offs[i], RADIUS
         )  # [E, 49, H, W]
         out.append(c)
     feats = jnp.concatenate(out, axis=1)  # [E, 196, H, W]

@@ -42,7 +42,8 @@ def _gather_volume(volume_flat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     ok = (iy >= 0) & (iy < H2) & (ix >= 0) & (ix < W2)
     idx = jnp.where(ok, iy * W2 + ix, 0)
     vals = jnp.take_along_axis(volume_flat, idx, axis=-1)
-    return jnp.where(ok, vals, 0.0)
+    # gather in the storage dtype (e.g. bf16 pyramids), accumulate in fp32
+    return jnp.where(ok, vals, 0).astype(jnp.float32)
 
 
 def _window_taps(radius: int):
@@ -123,7 +124,7 @@ def defcorr_index(
     """
     rd = 2 * radius + 1
     # center-tap offset forced to zero, straight-through gradient
-    center = jnp.zeros((rd, rd, 1), volume.dtype).at[radius, radius, 0].set(1.0)
+    center = jnp.zeros((rd, rd, 1), offset.dtype).at[radius, radius, 0].set(1.0)
     offset = offset - center * jax.lax.stop_gradient(offset)
 
     dx, dy = _window_taps(radius)

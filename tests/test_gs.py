@@ -1,0 +1,163 @@
+"""Tests for the 3DGS stage: renderer analytics, gradient flow, mapping
+convergence on a toy scene, TSDF + marching tetrahedra."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgu_slam_tpu.gs.params import GaussianMap, pointcloud_from_depth
+from lgu_slam_tpu.gs.render import render_gaussians, render_rgbd
+from lgu_slam_tpu.gs.ssim import ssim
+from lgu_slam_tpu.gs.tsdf import TSDFVolume, marching_tetrahedra
+
+
+def _identity_cam():
+    return jnp.eye(3), jnp.zeros(3)
+
+
+def test_single_gaussian_renders_centered_blob():
+    H, W = 32, 32
+    intr = (30.0, 30.0, W / 2, H / 2)
+    means = jnp.asarray([[0.0, 0.0, 2.0]])
+    quats = jnp.asarray([[1.0, 0, 0, 0]])
+    scales = jnp.full((1, 3), 0.2)
+    ops = jnp.asarray([0.9])
+    cols = jnp.asarray([[1.0, 0.0, 0.0]])
+    alive = jnp.asarray([True])
+    R, t = _identity_cam()
+    img, acc, dep = render_gaussians(
+        means, quats, scales, ops, cols, alive, R, t, intr,
+        img_size=(H, W), span=4, k_max=8, tile_chunk=4,
+    )
+    img = np.asarray(img)
+    cy, cx = np.unravel_index(np.argmax(img[..., 0]), (H, W))
+    assert abs(cy - H / 2) <= 1 and abs(cx - W / 2) <= 1
+    assert img[..., 1].max() < 1e-6  # red only
+    assert 0.8 < float(np.asarray(acc).max()) <= 1.0
+    # depth at the blob center equals the gaussian depth
+    assert abs(float(np.asarray(dep)[cy, cx] / np.asarray(acc)[cy, cx]) - 2.0) < 0.05
+
+
+def test_front_gaussian_occludes_back():
+    H, W = 32, 32
+    intr = (30.0, 30.0, W / 2, H / 2)
+    means = jnp.asarray([[0.0, 0.0, 4.0], [0.0, 0.0, 2.0]])  # back, front
+    quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+    scales = jnp.full((2, 3), 0.3)
+    ops = jnp.asarray([0.99, 0.99])
+    cols = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    alive = jnp.ones(2, bool)
+    R, t = _identity_cam()
+    img, acc, _ = render_gaussians(
+        means, quats, scales, ops, cols, alive, R, t, intr,
+        img_size=(H, W), span=4, k_max=8, tile_chunk=4,
+    )
+    center = np.asarray(img)[H // 2, W // 2]
+    assert center[0] > 0.9  # front red wins
+    assert center[1] < 0.1
+
+
+def test_dead_gaussians_invisible():
+    H, W = 16, 16
+    intr = (15.0, 15.0, 8.0, 8.0)
+    means = jnp.asarray([[0.0, 0.0, 2.0]])
+    img, acc, _ = render_gaussians(
+        means, jnp.asarray([[1.0, 0, 0, 0]]), jnp.full((1, 3), 0.3),
+        jnp.asarray([0.99]), jnp.asarray([[1.0, 1.0, 1.0]]),
+        jnp.asarray([False]), *_identity_cam(), intr,
+        img_size=(H, W), span=4, k_max=8, tile_chunk=4,
+    )
+    assert float(jnp.abs(img).max()) == 0.0
+
+
+def test_render_gradients_flow():
+    H, W = 16, 16
+    intr = (15.0, 15.0, 8.0, 8.0)
+    R, t = _identity_cam()
+    target = jnp.ones((H, W, 3)) * 0.5
+
+    def loss(means):
+        img, _, _ = render_gaussians(
+            means, jnp.asarray([[1.0, 0, 0, 0]]), jnp.full((1, 3), 0.5),
+            jnp.asarray([0.9]), jnp.asarray([[1.0, 1.0, 1.0]]),
+            jnp.asarray([True]), R, t, intr,
+            img_size=(H, W), span=4, k_max=8, tile_chunk=4,
+        )
+        return jnp.sum((img - target) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray([[0.1, 0.1, 2.0]]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_mapping_step_reduces_loss(rng):
+    """Fit colors of a fixed Gaussian cloud to a synthetic RGB-D frame."""
+    from lgu_slam_tpu.gs.mapping import GaussianMapper, GSConfig
+
+    H, W = 32, 32
+    intr = np.asarray([30.0, 30.0, W / 2, H / 2])
+    depth = np.full((H, W), 2.0, np.float32)
+    im = np.zeros((H, W, 3), np.float32)
+    im[:, : W // 2] = (1.0, 0.2, 0.1)
+    im[:, W // 2:] = (0.1, 0.3, 1.0)
+
+    # k_max must cover the per-tile gaussian count (one per pixel here)
+    cfg = GSConfig(capacity=4096, mapping_iters=0, span=4, k_max=256,
+                   prune_every=1000)
+    mapper = GaussianMapper(cfg, (H, W))
+    R = np.eye(3)
+    t = np.zeros(3)
+    mapper.add_frame_gaussians(im, depth, jnp.asarray(R), jnp.asarray(t),
+                               intr, 0)
+    assert mapper.map.count > 100
+
+    frame = (
+        jnp.asarray(im), jnp.asarray(depth), jnp.asarray(R),
+        jnp.asarray(t), jnp.asarray(intr),
+    )
+    im_l1 = []
+    alive = mapper.map.alive_device()
+    for _ in range(12):
+        mapper.map.params, mapper.opt_state, loss, aux = mapper.step(
+            mapper.map.params, mapper.opt_state, alive, frame
+        )
+        im_l1.append(float(aux[0]))
+    assert im_l1[-1] < im_l1[0] * 0.6, (im_l1[0], im_l1[-1])
+
+
+def test_ssim_identity(rng):
+    x = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    assert float(ssim(x, x)) > 0.999
+    y = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    assert float(ssim(x, y)) < 0.5
+
+
+def test_tsdf_sphere_mesh():
+    """Fuse depth maps of a wall; mesh must lie near the wall plane."""
+    H, W = 48, 48
+    intr = np.asarray([40.0, 40.0, 24.0, 24.0])
+    depth = np.full((H, W), 1.5, np.float32)
+    color = np.full((H, W, 3), 0.5, np.float32)
+    vol = TSDFVolume([-1.2, -1.2, 0.5], [1.2, 1.2, 2.5], voxel_size=0.05)
+    R = np.eye(3)
+    t = np.zeros(3)
+    vol.integrate(depth, color, intr, R, t)
+    V, C, T = vol.extract_mesh()
+    assert len(V) > 100
+    assert len(T) == len(V) // 3
+    # the surface is the z=1.5 plane (in the observed frustum)
+    assert abs(np.median(V[:, 2]) - 1.5) < 0.05
+
+
+def test_pointcloud_from_depth_roundtrip():
+    H, W = 8, 8
+    intr = (10.0, 10.0, 4.0, 4.0)
+    depth = np.full((H, W), 2.0, np.float32)
+    color = np.zeros((H, W, 3), np.float32)
+    pts, cols, msq = pointcloud_from_depth(
+        color, depth, intr, np.eye(3), np.zeros(3)
+    )
+    assert pts.shape == (64, 3)
+    np.testing.assert_allclose(pts[:, 2], 2.0)
+    # center pixel maps near the optical axis
+    assert np.abs(pts[:, :2]).max() < 1.0
