@@ -563,6 +563,22 @@ class FactorGraph:
         ii = ii.reshape(-1)
         jj = jj.reshape(-1)
         d = self.video.distance(ii, jj, beta=beta).copy()
+
+        # native planner (C++ extension) when built; identical semantics
+        from lgu_slam_tpu.utils import native  # noqa: PLC0415
+
+        if native.HAVE_NATIVE:
+            existing_ii = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+            existing_jj = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+            es = native.proximity_plan(
+                d, ii, jj, existing_ii, existing_jj, t0, t1, t, rad, nms,
+                thresh, self.max_factors, self.video.stereo,
+            )
+            if es:
+                es = np.asarray(es, np.int32)
+                self.add_factors(es[:, 0], es[:, 1], remove)
+            return
+
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 
