@@ -96,12 +96,23 @@ def main():
     P = cfg.pose_bucket
     eta = jnp.full((N, h, w), 1e-4)
 
+    # compact frame slots for GraphAgg
+    uniq = np.unique(ii_np)
+    F = cfg.frame_bucket
+    frame_ids = np.zeros(F, np.int32)
+    frame_ids[: len(uniq)] = uniq
+    slot_of = {int(f): s for s, f in enumerate(uniq)}
+    edge_slot = np.zeros(E, np.int32)
+    edge_slot[: len(ii_np)] = [slot_of[int(i)] for i in ii_np]
+    edge_slot_j = jnp.asarray(edge_slot)
+
     def keyframe_step(video, netbuf, target):
         pyr = _build_pyramids(net, params, video.fmaps, ii_j, jj_j, c)
         poses, disps = video.poses, video.disps
         for _ in range(8):
             netbuf, target, weight, eta_u, upmask, fmask = _update_op(
-                net, params, video, pyr, netbuf, ii_j, jj_j, target, mask_j
+                net, params, video, pyr, netbuf, ii_j, jj_j, target, mask_j,
+                edge_slot_j, F,
             )
             poses, disps = dba_step(
                 poses, disps, video.intrinsics[0], video.disps_sens,

@@ -58,18 +58,20 @@ class GraphAgg(nn.Module):
     """Edge-to-frame aggregation producing per-frame damping eta and the
     upsampling mask (droid_net.py:38-69).
 
-    Redesign: the reference scatter-means over ``unique(ii)``; here frames
-    are dense [0, N) so shapes stay static — frames without edges produce
-    (masked-out) zeros.
+    Redesign: the reference scatter-means over ``unique(ii)``; here the
+    caller provides a static number of *frame slots* and a per-edge slot
+    index (host-planned), so the convs run only over frames that actually
+    have edges while shapes stay static.
     """
 
-    num_frames: int | None = None  # defaults to dynamic via ii scatter size
+    num_frames: int | None = None  # unused; kept for config symmetry
 
     @nn.compact
     def __call__(self, net: jnp.ndarray, ii: jnp.ndarray, num_frames: int,
                  edge_mask: jnp.ndarray | None = None):
-        """net: [B, E, H, W, 128]; ii: [E]; returns
-        (eta [B, N, H, W], upmask [B, N, H, W, 576], frame_mask [N])."""
+        """net: [B, E, H, W, 128]; ii: [E] per-edge frame-slot index in
+        [0, num_frames); returns (eta [B, F, H, W],
+        upmask [B, F, H, W, 576], slot_mask [F])."""
         b, e, h, w, c = net.shape
         x = nn.relu(
             nn.Conv(128, (3, 3), padding=1, name="conv1")(

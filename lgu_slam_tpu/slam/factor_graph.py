@@ -52,12 +52,15 @@ def _build_pyramids(net_def, params, fmaps, ii, jj, stereo_c):
     )
 
 
-@partial(jax.jit, static_argnames=("net_def",))
+@partial(jax.jit, static_argnames=("net_def", "num_slots"))
 def _update_op(net_def, params, video_state, pyr, net, ii, jj, target,
-               edge_mask):
+               edge_mask, edge_slot, num_slots):
     """One GRU update over all active edge slots (factor_graph.py:203-224).
 
-    Returns (net', target', weight', eta, upmask, frame_mask).
+    ``edge_slot [E]`` maps each edge to a compact active-frame slot in
+    [0, num_slots) (host-planned) so the GraphAgg convs run only over
+    frames with edges, not the whole keyframe buffer.
+    Returns (net', target', weight', eta [num_slots,...], upmask, slot_mask).
     """
     coords1, _ = projective_transform(
         video_state.poses, video_state.disps, video_state.intrinsics, ii, jj
@@ -74,21 +77,21 @@ def _update_op(net_def, params, video_state, pyr, net, ii, jj, target,
     )
 
     inp = video_state.inps[ii].astype(jnp.float32)
-    N = video_state.poses.shape[0]
-    net2, delta, weight, eta, upmask, frame_mask = net_def.apply(
+    net2, delta, weight, eta, upmask, slot_mask = net_def.apply(
         {"params": params},
-        net[None], inp[None], corr[None], motn[None], ii, N, edge_mask,
+        net[None], inp[None], corr[None], motn[None], edge_slot, num_slots,
+        edge_mask,
         method=LGUNet.update_step,
     )
 
     target2 = coords1 + delta[0].astype(jnp.float32)
     weight2 = weight[0].astype(jnp.float32)
-    return net2[0], target2, weight2, eta[0], upmask[0], frame_mask
+    return net2[0], target2, weight2, eta[0], upmask[0], slot_mask
 
 
-@partial(jax.jit, static_argnames=("net_def",))
+@partial(jax.jit, static_argnames=("net_def", "num_slots"))
 def _alt_update_op(net_def, params, video_state, fmap_pyr, net, ii, jj,
-                   ii_rig, jj_rig, target, edge_mask):
+                   ii_rig, jj_rig, target, edge_mask, edge_slot, num_slots):
     """Low-memory update: fused on-the-fly correlation (update_lowmem body,
     factor_graph.py:267-292).  ii/jj index keyframes; ii_rig/jj_rig are the
     rig-expanded feature indices (factor_graph.py:279)."""
@@ -108,18 +111,15 @@ def _alt_update_op(net_def, params, video_state, fmap_pyr, net, ii, jj,
     )
 
     inp = video_state.inps[ii].astype(jnp.float32)
-    N = video_state.poses.shape[0]
-    net2, delta, weight, eta, upmask, frame_mask = net_def.apply(
+    net2, delta, weight, eta, upmask, slot_mask = net_def.apply(
         {"params": params},
-        net[None], inp[None], corr[None], motn[None], ii, N, edge_mask,
+        net[None], inp[None], corr[None], motn[None], edge_slot, num_slots,
+        edge_mask,
         method=LGUNet.update_step,
     )
     target2 = coords1 + delta[0].astype(jnp.float32)
-    return net2[0], target2, weight2_cast(weight[0]), eta[0], upmask[0], frame_mask
-
-
-def weight2_cast(w):
-    return w.astype(jnp.float32)
+    return (net2[0], target2, weight[0].astype(jnp.float32), eta[0],
+            upmask[0], slot_mask)
 
 
 @jax.jit
@@ -136,8 +136,28 @@ def _compact(buffers, perm, keep_mask):
 
 
 @jax.jit
-def _update_damping(damping, eta, frame_mask):
-    return jnp.where(frame_mask[:, None, None], eta, damping)
+def _update_damping(damping, eta_slots, frame_ids, slot_mask):
+    """Scatter per-slot eta into the dense per-frame damping buffer
+    (factor_graph.py:228 `self.damping[torch.unique(ii)] = damping`)."""
+    cur = damping[frame_ids]
+    new = jnp.where(slot_mask[:, None, None], eta_slots, cur)
+    return damping.at[frame_ids].set(new)
+
+
+@jax.jit
+def _upsample_slots(disps, disps_up, upmask_slots, frame_ids, slot_mask):
+    """disps_up[frame_ids] = cvx_upsample(disps[frame_ids], upmask)
+    (depth_video.py:124-128)."""
+    from lgu_slam_tpu.models.update import upsample_disp  # noqa: PLC0415
+
+    up = upsample_disp(
+        disps[frame_ids], upmask_slots.reshape(
+            upmask_slots.shape[:3] + (-1,)
+        )
+    )
+    cur = disps_up[frame_ids]
+    up = jnp.where(slot_mask[:, None, None], up, cur)
+    return disps_up.at[frame_ids].set(up)
 
 
 class FactorGraph:
@@ -159,6 +179,7 @@ class FactorGraph:
         self.video = video
         self.cfg = cfg
         self.corr_impl = corr_impl
+        self.upsample = cfg.upsample
         self.max_factors = max_factors if max_factors > 0 else cfg.max_factors
         self.E = edge_bucket or cfg.edge_bucket
         self.EI = inactive_bucket or cfg.inactive_bucket
@@ -374,6 +395,21 @@ class FactorGraph:
 
     # -- update -------------------------------------------------------------
 
+    def _frame_slots(self, bucket: int):
+        """Host plan: compact active-frame slots for GraphAgg
+        (unique(ii) padded to ``bucket``)."""
+        uniq = np.unique(self.ii) if self.n_edges else np.zeros(0, np.int32)
+        while len(uniq) > bucket:
+            bucket *= 2  # rare: recompile with a larger bucket
+        frame_ids = np.zeros(bucket, np.int32)
+        frame_ids[: len(uniq)] = uniq
+        slot_of = {int(f): s for s, f in enumerate(uniq)}
+        edge_slot = np.zeros(self.E, np.int32)
+        edge_slot[: self.n_edges] = [slot_of[int(i)] for i in self.ii]
+        return (
+            jnp.asarray(frame_ids), jnp.asarray(edge_slot), bucket,
+        )
+
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
                EP=1e-7, motion_only=False):
         """One GRU + DBA update over the active graph
@@ -382,17 +418,26 @@ class FactorGraph:
             return
         self._ensure_pyramid()
         ii, jj, mask = self._edge_arrays()
+        frame_ids, edge_slot, F = self._frame_slots(self.cfg.frame_bucket)
 
-        net2, target, weight, eta, upmask, fmask = _update_op(
+        net2, target, weight, eta, upmask, slot_mask = _update_op(
             self.net_def, self.params, self.video.state, self.pyramid,
-            self.net, ii, jj, self.target, mask,
+            self.net, ii, jj, self.target, mask, edge_slot, F,
         )
         self.net = net2
         self.target = target
         self.weight = weight
-        self.video.state = self.video.state._replace(
-            damping=_update_damping(self.video.state.damping, eta, fmask)
+        s = self.video.state
+        s = s._replace(
+            damping=_update_damping(s.damping, eta, frame_ids, slot_mask)
         )
+        if self.upsample:
+            s = s._replace(
+                disps_up=_upsample_slots(
+                    s.disps, s.disps_up, upmask, frame_ids, slot_mask
+                )
+            )
+        self.video.state = s
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
@@ -507,12 +552,25 @@ class FactorGraph:
                 net_c = self.net[slot]
                 target_c = self.target[slot]
 
-                net2, target2, weight2, eta, upmask, fmask = _alt_update_op(
-                    self.net_def, self.params, self.video.state,
-                    self.fmap_pyr, net_c,
-                    jnp.asarray(ii_c), jnp.asarray(jj_c),
-                    jnp.asarray(ii_rig), jnp.asarray(jj_rig),
-                    target_c, jnp.asarray(mask_c),
+                # compact frame slots for this chunk (host plan)
+                uniq = np.unique(ii_c[mask_c > 0])
+                F = CH
+                frame_ids = np.zeros(F, np.int32)
+                frame_ids[: len(uniq)] = uniq
+                slot_of = {int(f): s for s, f in enumerate(uniq)}
+                edge_slot = np.asarray(
+                    [slot_of.get(int(i), 0) for i in ii_c], np.int32
+                )
+
+                net2, target2, weight2, eta, upmask, slot_mask = (
+                    _alt_update_op(
+                        self.net_def, self.params, self.video.state,
+                        self.fmap_pyr, net_c,
+                        jnp.asarray(ii_c), jnp.asarray(jj_c),
+                        jnp.asarray(ii_rig), jnp.asarray(jj_rig),
+                        target_c, jnp.asarray(mask_c),
+                        jnp.asarray(edge_slot), F,
+                    )
                 )
                 live = jnp.asarray(mask_c)[:, None, None, None] > 0
                 self.net = self.net.at[slot].set(
@@ -524,11 +582,20 @@ class FactorGraph:
                 self.weight = self.weight.at[slot].set(
                     jnp.where(live, weight2, self.weight[slot])
                 )
-                self.video.state = self.video.state._replace(
+                s_v = self.video.state
+                s_v = s_v._replace(
                     damping=_update_damping(
-                        self.video.state.damping, eta, fmask
+                        s_v.damping, eta, jnp.asarray(frame_ids), slot_mask
                     )
                 )
+                if self.upsample:
+                    s_v = s_v._replace(
+                        disps_up=_upsample_slots(
+                            s_v.disps, s_v.disps_up, upmask,
+                            jnp.asarray(frame_ids), slot_mask,
+                        )
+                    )
+                self.video.state = s_v
 
             self._run_dba(
                 1 if t0 is None else t0, t if t1 is None else t1,
