@@ -48,15 +48,19 @@ def make_train_step(net_def: LGUNet, tx, cfg: TrainConfig,
     ii = jnp.asarray(ii)
     jj = jnp.asarray(jj)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, Gs0, disp0):
         images, poses_gt, disps_gt, intrinsics = batch
         B, N = images.shape[:2]
 
         Ps = lie.se3_inv(poses_gt)  # c2w -> w2c convention (train.py:112)
         Gs = jnp.broadcast_to(Ps[:, 1:2], Ps.shape)
         Gs = Gs.at[:, 0].set(Ps[:, 0])
+        # random-restart carry-over (train.py:148-149)
+        use0 = jnp.any(Gs0 != 0)
+        Gs = jnp.where(use0, Gs0, Gs)
 
         disp8 = jnp.ones_like(disps_gt[:, :, 3::8, 3::8])
+        disp8 = jnp.where(use0, disp0, disp8)
         intr8 = intrinsics / 8.0
 
         poses_est, disps_est, residuals, coord_loss = net_def.apply(
@@ -78,16 +82,20 @@ def make_train_step(net_def: LGUNet, tx, cfg: TrainConfig,
         )
         metrics = {**geo_m, **res_m, **flo_m, "coord": coord_loss,
                    "loss": total}
-        return total, metrics
+        carry = (
+            jax.lax.stop_gradient(poses_est[-1]),
+            jax.lax.stop_gradient(disps_est[-1][:, :, 3::8, 3::8]),
+        )
+        return total, (metrics, carry)
 
     @jax.jit
-    def train_step(params, opt_state, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch
-        )
+    def train_step(params, opt_state, batch, Gs0, disp0):
+        (loss, (metrics, carry)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, Gs0, disp0)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, opt_state, metrics, carry
 
     return train_step
 

@@ -94,7 +94,19 @@ def main():
 
         batch = shard_batch((images, poses, disps, intr), mesh)
         t0 = time.time()
-        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        # random restarts carrying poses/disps (train.py:130-149)
+        B, Nf = images.shape[:2]
+        h8, w8 = images.shape[2] // 8, images.shape[3] // 8
+        Gs0 = np.zeros((B, Nf, 7), np.float32)
+        disp0 = np.zeros((B, Nf, h8, w8), np.float32)
+        r = 0.0
+        while True:
+            params, opt_state, metrics, (Gs0, disp0) = step_fn(
+                params, opt_state, batch, Gs0, disp0
+            )
+            r = rng.random()
+            if r >= tcfg.restart_prob:
+                break
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["step_time"] = time.time() - t0
         total += 1
