@@ -87,6 +87,28 @@ class DbaPlan:
             rof[k, : len(g)] = g
         return DbaPlan(ii_p, jj_p, mask, rof)
 
+    @staticmethod
+    def build_masked(ii, jj, mask, num_frames: int,
+                     dmax_bucket: int | None = None):
+        """Plan from already-padded edge arrays with a validity mask,
+        preserving slot positions (edge e -> row num_frames + e)."""
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        mask = np.asarray(mask, np.float32).reshape(-1)
+        N = num_frames
+        groups = [[k] for k in range(N)]
+        for e in np.nonzero(mask > 0)[0]:
+            groups[int(ii[e])].append(N + int(e))
+        deg = max(len(g) for g in groups)
+        if dmax_bucket is None:
+            dmax_bucket = max(8, 1 << int(np.ceil(np.log2(deg))))
+        if deg > dmax_bucket:
+            raise ValueError(f"frame degree {deg} exceeds bucket {dmax_bucket}")
+        rof = np.full((N, dmax_bucket), -1, np.int32)
+        for k, g in enumerate(groups):
+            rof[k, : len(g)] = g
+        return DbaPlan(ii, jj, mask, rof)
+
 
 def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj, edge_mask):
     """Per-edge Hessian/E/C/w blocks (projective_transform_kernel parity).

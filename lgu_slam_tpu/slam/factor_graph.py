@@ -135,6 +135,76 @@ def _compact(buffers, perm, keep_mask):
     return jax.tree_util.tree_map(one, buffers)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
+                     "motion_only"),
+)
+def _update_loop(
+    net_def,
+    params,
+    video_state,
+    pyr,
+    net,
+    ii,
+    jj,
+    target,
+    weight,
+    edge_mask,
+    edge_slot,
+    frame_ids,
+    target_inac,
+    weight_inac,
+    dba_ii,
+    dba_jj,
+    dba_mask,
+    rows_of_frame,
+    t0,
+    t1,
+    *,
+    num_slots: int,
+    n_iters: int,
+    P: int,
+    dba_iters: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    EP: float = 1e-7,
+    motion_only: bool = False,
+):
+    """``n_iters`` x {GRU update + DBA} as ONE jit — the frontend's 8-step
+    inner loop (droid_frontend.py:50-51) without per-iteration host
+    dispatch.  The DBA edge list is [active..., selected-inactive...] with
+    a fixed topology plan; only the active targets/weights evolve."""
+    ht, wd = video_state.disps.shape[1:]
+    upmask0 = jnp.zeros((num_slots, ht, wd, 576), jnp.float32)
+    state = (net, target, weight, video_state.poses, video_state.disps,
+             video_state.damping, upmask0)
+
+    def body(_, state):
+        net, target, weight, poses, disps, damping, _up = state
+        vs = video_state._replace(poses=poses, disps=disps, damping=damping)
+        net2, target2, weight2, eta, upmask, slot_mask = _update_op(
+            net_def, params, vs, pyr, net, ii, jj, target, edge_mask,
+            edge_slot, num_slots,
+        )
+        damping2 = _update_damping(damping, eta, frame_ids, slot_mask)
+
+        dba_target = jnp.concatenate([target2, target_inac], axis=0)
+        dba_weight = jnp.concatenate([weight2, weight_inac], axis=0)
+        dba_weight = dba_weight * dba_mask[:, None, None, None]
+        eta_dense = 0.2 * damping2 + EP
+        poses2, disps2 = dba_step(
+            poses, disps, video_state.intrinsics[0], video_state.disps_sens,
+            dba_target, dba_weight, eta_dense,
+            dba_ii, dba_jj, dba_mask, rows_of_frame, t0, t1,
+            P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=motion_only,
+        )
+        return (net2, target2, weight2, poses2, disps2, damping2,
+                upmask.astype(jnp.float32))
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
 @jax.jit
 def _update_damping(damping, eta_slots, frame_ids, slot_mask):
     """Scatter per-slot eta into the dense per-frame damping buffer
@@ -414,36 +484,79 @@ class FactorGraph:
                EP=1e-7, motion_only=False):
         """One GRU + DBA update over the active graph
         (factor_graph.py:203-252)."""
+        self.update_n(1, t0=t0, t1=t1, itrs=itrs,
+                      use_inactive=use_inactive, EP=EP,
+                      motion_only=motion_only)
+
+    def update_n(self, n, t0=None, t1=None, itrs=2, use_inactive=False,
+                 EP=1e-7, motion_only=False):
+        """n x (GRU update + DBA) as a single device program — the
+        frontend's inner iteration loop without per-step host dispatch."""
         if self.n_edges == 0:
             return
+        cfg = self.cfg
         self._ensure_pyramid()
         ii, jj, mask = self._edge_arrays()
-        frame_ids, edge_slot, F = self._frame_slots(self.cfg.frame_bucket)
+        frame_ids, edge_slot, F = self._frame_slots(cfg.frame_bucket)
 
-        net2, target, weight, eta, upmask, slot_mask = _update_op(
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+
+        # inactive edge selection (fixed across the n iterations)
+        if use_inactive and len(self.ii_inac) > 0:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            sel = np.where(m)[0]
+        else:
+            sel = np.zeros(0, np.int64)
+        k = len(sel)
+        sel_idx = jnp.asarray(np.pad(sel, (0, self.EI - k)).astype(np.int32))
+        target_inac = self.target_inac[sel_idx]
+        weight_inac = self.weight_inac[sel_idx]
+
+        E_dba = self.E + self.EI
+        dba_ii = np.zeros(E_dba, np.int32)
+        dba_jj = np.zeros(E_dba, np.int32)
+        dba_mask = np.zeros(E_dba, np.float32)
+        ne = self.n_edges
+        dba_ii[:ne] = self.ii
+        dba_jj[:ne] = self.jj
+        dba_mask[:ne] = 1.0
+        dba_ii[self.E : self.E + k] = self.ii_inac[sel]
+        dba_jj[self.E : self.E + k] = self.jj_inac[sel]
+        dba_mask[self.E : self.E + k] = 1.0
+
+        plan = DbaPlan.build_masked(dba_ii, dba_jj, dba_mask, cfg.buffer)
+        P = cfg.pose_bucket if (t1 - t0) <= cfg.pose_bucket else cfg.buffer
+
+        net2, target, weight, poses, disps, damping, upmask = _update_loop(
             self.net_def, self.params, self.video.state, self.pyramid,
-            self.net, ii, jj, self.target, mask, edge_slot, F,
+            self.net, ii, jj, self.target, self.weight, mask, edge_slot,
+            frame_ids, target_inac, weight_inac,
+            jnp.asarray(plan.ii), jnp.asarray(plan.jj),
+            jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+            jnp.int32(t0), jnp.int32(t1),
+            num_slots=F, n_iters=n, P=P, dba_iters=itrs,
+            lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, motion_only=motion_only,
         )
         self.net = net2
         self.target = target
         self.weight = weight
-        s = self.video.state
-        s = s._replace(
-            damping=_update_damping(s.damping, eta, frame_ids, slot_mask)
+        s = self.video.state._replace(
+            poses=poses, disps=jnp.maximum(disps, 1e-3), damping=damping
         )
         if self.upsample:
+            n_used = len(np.unique(self.ii))
+            slot_mask = jnp.asarray(np.arange(F) < n_used)
             s = s._replace(
                 disps_up=_upsample_slots(
                     s.disps, s.disps_up, upmask, frame_ids, slot_mask
                 )
             )
         self.video.state = s
-
-        if t0 is None:
-            t0 = max(1, int(self.ii.min()) + 1)
-
-        self._run_dba(t0, t1, itrs, use_inactive, EP, motion_only)
-        self.age += 1
+        self.video.dirty[t0:t1] = True
+        self.age += n
 
     def _run_dba(self, t0, t1, itrs, use_inactive, EP, motion_only):
         """Assemble the (active ∪ inactive) edge set and run the DBA."""

@@ -72,8 +72,7 @@ class Frontend:
         )
         self.video.state = s._replace(disps=s.disps.at[t].set(new_disp))
 
-        for _ in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+        self.graph.update_n(self.iters1, use_inactive=True)
 
         d = self.video.distance(
             [self.t1 - 3], [self.t1 - 2], beta=cfg.beta, bidirectional=True
@@ -83,8 +82,7 @@ class Frontend:
             self.graph.rm_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self.graph.update_n(self.iters2, use_inactive=True)
 
         self._seed_next()
         self.video.dirty[max(int(self.graph.ii.min()), 0) : self.t1] = True
@@ -96,14 +94,12 @@ class Frontend:
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update_n(8, t0=1, use_inactive=True)
 
         self.graph.add_proximity_factors(
             0, 0, rad=2, nms=2, thresh=self.cfg.frontend_thresh, remove=False
         )
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update_n(8, t0=1, use_inactive=True)
 
         s = self.video.state
         mean_disp = jnp.mean(s.disps[self.t1 - 4 : self.t1])

@@ -77,8 +77,7 @@ class TrajectoryFiller:
         graph.add_factors(t0, np.arange(N, N + M))
         graph.add_factors(t1, np.arange(N, N + M))
 
-        for _ in range(6):
-            graph.update(t0=N, t1=N + M, motion_only=True)
+        graph.update_n(6, t0=N, t1=N + M, motion_only=True)
 
         poses_out = np.asarray(video.state.poses[N : N + M])
         video.counter = N
