@@ -100,53 +100,89 @@ def fpn_offsets(ofs_map_fn, ofs_residual_fn, t: jnp.ndarray):
 
 
 def build_corr_pyramid(
-    ga_fn,
+    ga_predict_fn,
     ofs_map_fn,
     ofs_residual_fn,
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
     volume_dtype=jnp.float32,
     edge_chunk: int = 8,
+    use_pallas: bool | None = None,
 ) -> CorrPyramid:
     """Full CorrBlock construction (corr.py:53-86).
 
-    fmap1/fmap2: [E, H, W, 128].  ``ga_fn(t_nhwc, corr)`` is the bound
-    GaussianMask apply.
+    fmap1/fmap2: [E, H, W, 128].  ``ga_predict_fn(t)`` returns the
+    GaussianMask parameters (mean, cov, det).
 
-    The O(E * (HW)^2) volume work is scanned in ``edge_chunk`` slices so
-    fp32 transients stay bounded (the pyramid itself is stored in
-    ``volume_dtype``); offsets/means are cheap and computed unchunked.
+    On TPU the masked level-0 volume is built by the fused Pallas kernel
+    (ops/pallas_corr.py: MXU matmul + in-register Gaussian epilogue, output
+    written directly in ``volume_dtype``); elsewhere a chunked XLA path
+    bounds the fp32 transients.  Pooled levels are derived level-by-level
+    in edge chunks.
     """
-    E = fmap1.shape[0]
+    E, H, W, _ = fmap1.shape
+    P = H * W
     t = jnp.concatenate([fmap1, fmap2], axis=-1)  # [E,H,W,256]
     off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
+    mean, cov, det = ga_predict_fn(t)
 
-    def chunk_fn(pair):
-        f1, f2 = pair
-        corr = all_pairs_correlation(f1, f2)  # [e,H,W,H,W] fp32
-        tt = jnp.concatenate([f1, f2], axis=-1)
-        corr, mean, det = ga_fn(tt, corr)
-        levels = [corr.astype(volume_dtype)]
-        v = corr
-        for _ in range(NUM_LEVELS - 1):
-            v = _avg_pool_last2(v)
-            levels.append(v.astype(volume_dtype))
-        return tuple(levels), mean, det
+    if use_pallas is None:
+        from lgu_slam_tpu.ops.pallas_corr import TILE_P  # noqa: PLC0415
 
-    if E % edge_chunk == 0 and E > edge_chunk:
-        n = E // edge_chunk
-        f1c = fmap1.reshape((n, edge_chunk) + fmap1.shape[1:])
-        f2c = fmap2.reshape((n, edge_chunk) + fmap2.shape[1:])
-        levels, mean, det = jax.lax.map(chunk_fn, (f1c, f2c))
-        levels = tuple(
-            l.reshape((E,) + l.shape[2:]) for l in levels
+        use_pallas = jax.default_backend() == "tpu" and (
+            P % TILE_P == 0 or P <= 1500
         )
-        mean = mean.reshape((E,) + mean.shape[2:])
-        det = det.reshape((E,) + det.shape[2:])
-    else:
-        levels, mean, det = chunk_fn((fmap1, fmap2))
 
-    return CorrPyramid(levels, (off0, off1), mean, 2.0 * det)
+    def masked_level0(f1, f2, mean_c, cov_c, det_c):
+        corr = all_pairs_correlation(f1, f2)  # fp32
+        from lgu_slam_tpu.ops.sampler import gaussian_window_mask  # noqa: PLC0415
+
+        masked = gaussian_window_mask(corr, mean_c, cov_c, 4)
+        denom = 6.28 * jnp.sqrt(det_c)[..., None, None]
+        return (masked / denom + corr).astype(volume_dtype)
+
+    if use_pallas:
+        from lgu_slam_tpu.ops.pallas_corr import masked_corr_level0  # noqa: PLC0415
+
+        lvl0 = masked_corr_level0(
+            fmap1, fmap2, mean, cov, out_dtype=volume_dtype
+        )
+    elif E % edge_chunk == 0 and E > edge_chunk:
+        n = E // edge_chunk
+
+        def chunk(args):
+            return masked_level0(*args)
+
+        lvl0 = jax.lax.map(
+            chunk,
+            (
+                fmap1.reshape((n, edge_chunk) + fmap1.shape[1:]),
+                fmap2.reshape((n, edge_chunk) + fmap2.shape[1:]),
+                mean.reshape((n, edge_chunk) + mean.shape[1:]),
+                cov.reshape((n, edge_chunk) + cov.shape[1:]),
+                det.reshape((n, edge_chunk) + det.shape[1:]),
+            ),
+        ).reshape((E, H, W, H, W))
+    else:
+        lvl0 = masked_level0(fmap1, fmap2, mean, cov, det)
+
+    # pooled levels, chunked over edges to bound fp32 transients
+    levels = [lvl0]
+    v = lvl0
+    for _ in range(NUM_LEVELS - 1):
+        if E % edge_chunk == 0 and E > edge_chunk:
+            n = E // edge_chunk
+            v = jax.lax.map(
+                lambda x: _avg_pool_last2(x.astype(jnp.float32)).astype(
+                    volume_dtype
+                ),
+                v.reshape((n, edge_chunk) + v.shape[1:]),
+            ).reshape((E,) + v.shape[1:3] + (v.shape[3] // 2, v.shape[4] // 2))
+        else:
+            v = _avg_pool_last2(v.astype(jnp.float32)).astype(volume_dtype)
+        levels.append(v)
+
+    return CorrPyramid(tuple(levels), (off0, off1), mean, 2.0 * det)
 
 
 def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:

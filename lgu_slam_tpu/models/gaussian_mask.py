@@ -39,11 +39,9 @@ class GaussianMask(nn.Module):
     radius: int = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, corr: jnp.ndarray):
-        """x: [B, H, W, 256] concatenated fmap pair; corr: [B, H, W, H2, W2].
-
-        Returns (masked corr [B,H,W,H2,W2], mean [B,H,W,2], det [B,H,W]).
-        """
+    def predict(self, x: jnp.ndarray):
+        """x: [B, H, W, 256] -> (mean [B,H,W,2], cov [B,H,W,2],
+        det [B,H,W]) — the learned per-pixel Gaussian parameters."""
         b, h, w, _ = x.shape
 
         tt = jnp.tanh(nn.Dense(16, name="map")(x))
@@ -54,7 +52,7 @@ class GaussianMask(nn.Module):
         c = nn.Dense(2, name="covMap")(tt).reshape(b, h * w, 2)
         c = _map_normalize(c)
         c = nn.sigmoid(c) * 5.0 + 0.05
-        det = c[..., 0] * c[..., 1]  # [B, HW]
+        det = (c[..., 0] * c[..., 1]).reshape(b, h, w)
         cov = c.reshape(b, h, w, 2)
 
         # mean = pixel coordinate + learned offset (gaussianMask_cuda.py:81-83)
@@ -64,10 +62,18 @@ class GaussianMask(nn.Module):
         )
         coord = jnp.stack([xs, ys], axis=-1)
         mean = coord[None] + mean_ofs
+        return mean, cov, det
 
+    def __call__(self, x: jnp.ndarray, corr: jnp.ndarray):
+        """x: [B, H, W, 256] concatenated fmap pair; corr: [B, H, W, H2, W2].
+
+        Returns (masked corr [B,H,W,H2,W2], mean [B,H,W,2], det [B,H,W]).
+        """
+        mean, cov, det = self.predict(x)
         masked = gaussian_window_mask(
             corr.astype(jnp.float32), mean, cov, self.radius
         )
+        b, h, w = det.shape
         denom = TWO_PI * jnp.sqrt(det).reshape(b, h, w, 1, 1)
         out = masked / denom + corr
-        return out, mean, det.reshape(b, h, w)
+        return out, mean, det

@@ -70,7 +70,7 @@ class LGUNet(nn.Module):
     def build_corr(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> CorrPyramid:
         """fmap1/2: [E, H, W, 128] per-edge features."""
         return build_corr_pyramid(
-            self.ga, self.ofs_map, self.ofs_residual, fmap1, fmap2,
+            self.ga.predict, self.ofs_map, self.ofs_residual, fmap1, fmap2,
             volume_dtype=self.volume_dtype,
         )
 

@@ -123,6 +123,36 @@ def _alt_update_op(net_def, params, video_state, fmap_pyr, net, ii, jj,
 
 
 @jax.jit
+def _add_edge_slots(target, weight, netbuf, poses, disps, intrinsics, nets,
+                    ii_c, jj_c, n_new, start):
+    """Seed ``n_new`` new edge slots starting at ``start`` (traced):
+    target = current reprojection, weight = 0, net = video.nets[ii]
+    (factor_graph.py:113-130).  ii_c/jj_c are padded to a fixed chunk."""
+    coords, _ = projective_transform(poses, disps, intrinsics, ii_c, jj_c)
+    AC = ii_c.shape[0]
+    rows = start + jnp.arange(AC)
+    rows = jnp.where(jnp.arange(AC) < n_new, rows, target.shape[0])
+    target = target.at[rows].set(coords, mode="drop")
+    weight = weight.at[rows].set(0.0, mode="drop")
+    netbuf = netbuf.at[rows].set(
+        nets[ii_c].astype(jnp.float32), mode="drop"
+    )
+    return target, weight, netbuf
+
+
+@jax.jit
+def _store_inactive(target_inac, weight_inac, target, weight, src_idx,
+                    dst_mask):
+    """Overwrite inactive slots flagged by ``dst_mask`` with active rows
+    ``src_idx`` (fixed shapes: one compile regardless of store count)."""
+    m = dst_mask[:, None, None, None]
+    return (
+        jnp.where(m, target[src_idx], target_inac),
+        jnp.where(m, weight[src_idx], weight_inac),
+    )
+
+
+@jax.jit
 def _compact(buffers, perm, keep_mask):
     """Permute edge-slot buffers (host-computed permutation) and zero the
     slots beyond the surviving count."""
@@ -334,16 +364,22 @@ class FactorGraph:
             if ii.size == 0:
                 return
 
+        # seed slots in fixed-size chunks (one compile for any edge count)
+        AC = self.cfg.add_chunk
+        s = self.video.state
         n0 = self.n_edges
-        n1 = n0 + ii.size
-        # seed target with current reprojection, zero weight (:128-130)
-        coords, _ = self.video.reproject(ii, jj)
-        idx = jnp.arange(n0, n1)
-        self.target = self.target.at[idx].set(coords)
-        self.weight = self.weight.at[idx].set(0.0)
-        self.net = self.net.at[idx].set(
-            self.video.state.nets[jnp.asarray(ii)].astype(jnp.float32)
-        )
+        for lo in range(0, ii.size, AC):
+            chunk_i = np.zeros(AC, np.int32)
+            chunk_j = np.zeros(AC, np.int32)
+            n_new = min(AC, ii.size - lo)
+            chunk_i[:n_new] = ii[lo : lo + n_new]
+            chunk_j[:n_new] = jj[lo : lo + n_new]
+            self.target, self.weight, self.net = _add_edge_slots(
+                self.target, self.weight, self.net,
+                s.poses, s.disps, s.intrinsics, s.nets,
+                jnp.asarray(chunk_i), jnp.asarray(chunk_j),
+                jnp.int32(n_new), jnp.int32(n0 + lo),
+            )
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
@@ -362,22 +398,28 @@ class FactorGraph:
         if store:
             n_store = int(mask.sum())
             n_inac = len(self.ii_inac)
-            n_keep_inac = min(n_store, self.EI - n_inac)
-            if n_keep_inac < n_store:
+            if n_inac + n_store > self.EI:
                 # inactive bucket overflow: drop oldest stored edges first
-                overflow = n_store - n_keep_inac
+                overflow = n_inac + n_store - self.EI
                 self.ii_inac = self.ii_inac[overflow:]
                 self.jj_inac = self.jj_inac[overflow:]
-                self.target_inac = jnp.roll(self.target_inac, -overflow, 0)
-                self.weight_inac = jnp.roll(self.weight_inac, -overflow, 0)
+                perm = np.arange(self.EI, dtype=np.int32)
+                perm[: self.EI - overflow] = np.arange(overflow, self.EI)
+                keep_mask = np.zeros(self.EI, bool)
+                keep_mask[: len(self.ii_inac)] = True
+                self.target_inac, self.weight_inac = _compact(
+                    (self.target_inac, self.weight_inac),
+                    jnp.asarray(perm), jnp.asarray(keep_mask),
+                )
                 n_inac = len(self.ii_inac)
             sel = np.where(mask)[0]
-            dst = jnp.arange(n_inac, n_inac + n_store)
-            self.target_inac = self.target_inac.at[dst].set(
-                self.target[jnp.asarray(sel)]
-            )
-            self.weight_inac = self.weight_inac.at[dst].set(
-                self.weight[jnp.asarray(sel)]
+            src_idx = np.zeros(self.EI, np.int32)
+            dst_mask = np.zeros(self.EI, bool)
+            src_idx[n_inac : n_inac + n_store] = sel
+            dst_mask[n_inac : n_inac + n_store] = True
+            self.target_inac, self.weight_inac = _store_inactive(
+                self.target_inac, self.weight_inac, self.target, self.weight,
+                jnp.asarray(src_idx), jnp.asarray(dst_mask),
             )
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])

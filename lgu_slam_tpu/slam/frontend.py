@@ -1,8 +1,14 @@
 """Frontend: sliding-window local BA tracking (reference:
-droid_slam/droid_frontend.py)."""
+droid_slam/droid_frontend.py).
+
+All per-keyframe state mutations are jitted with *traced* indices — an
+eager ``x.at[17].set(...)`` bakes the index into the executable and would
+force one remote XLA compile per keyframe.
+"""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -10,6 +16,31 @@ from lgu_slam_tpu.models.net import LGUNet
 from lgu_slam_tpu.slam.factor_graph import FactorGraph
 from lgu_slam_tpu.slam.state import Video
 from lgu_slam_tpu.utils.config import SLAMConfig
+
+
+@jax.jit
+def _seed_next_state(poses, disps, t1):
+    """poses[t1] = poses[t1-1]; disps[t1] = mean(disps[t1-1])
+    (droid_frontend.py:69-70)."""
+    poses = poses.at[t1].set(poses[t1 - 1])
+    disps = disps.at[t1].set(jnp.mean(disps[t1 - 1]))
+    return poses, disps
+
+
+@jax.jit
+def _adopt_sensed(disps, disps_sens, t):
+    new = jnp.where(disps_sens[t] > 0, disps_sens[t], disps[t])
+    return disps.at[t].set(new)
+
+
+@jax.jit
+def _seed_init_state(poses, disps, t1):
+    """poses[t1] = poses[t1-1]; disps[t1] = mean(disps[t1-4:t1])
+    (droid_frontend.py:92-93)."""
+    poses = poses.at[t1].set(poses[t1 - 1])
+    window = jax.lax.dynamic_slice_in_dim(disps, t1 - 4, 4, axis=0)
+    disps = disps.at[t1].set(jnp.mean(window))
+    return poses, disps
 
 
 class Frontend:
@@ -42,12 +73,8 @@ class Frontend:
         """Seed the next frame's pose/disp from the last keyframe
         (droid_frontend.py:69-70)."""
         s = self.video.state
-        t1 = self.t1
-        mean_disp = jnp.mean(s.disps[t1 - 1])
-        self.video.state = s._replace(
-            poses=s.poses.at[t1].set(s.poses[t1 - 1]),
-            disps=s.disps.at[t1].set(mean_disp),
-        )
+        poses, disps = _seed_next_state(s.poses, s.disps, jnp.int32(self.t1))
+        self.video.state = s._replace(poses=poses, disps=disps)
 
     def _update(self):
         """Per-keyframe update (droid_frontend.py:35-73)."""
@@ -66,11 +93,9 @@ class Frontend:
 
         # RGB-D: adopt sensed disparity where available (:47-48)
         s = self.video.state
-        t = self.t1 - 1
-        new_disp = jnp.where(
-            s.disps_sens[t] > 0, s.disps_sens[t], s.disps[t]
+        self.video.state = s._replace(
+            disps=_adopt_sensed(s.disps, s.disps_sens, jnp.int32(self.t1 - 1))
         )
-        self.video.state = s._replace(disps=s.disps.at[t].set(new_disp))
 
         self.graph.update_n(self.iters1, use_inactive=True)
 
@@ -102,11 +127,8 @@ class Frontend:
         self.graph.update_n(8, t0=1, use_inactive=True)
 
         s = self.video.state
-        mean_disp = jnp.mean(s.disps[self.t1 - 4 : self.t1])
-        self.video.state = s._replace(
-            poses=s.poses.at[self.t1].set(s.poses[self.t1 - 1]),
-            disps=s.disps.at[self.t1].set(mean_disp),
-        )
+        poses, disps = _seed_init_state(s.poses, s.disps, jnp.int32(self.t1))
+        self.video.state = s._replace(poses=poses, disps=disps)
 
         self.is_initialized = True
         self.video.dirty[: self.t1] = True

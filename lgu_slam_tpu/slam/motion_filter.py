@@ -120,9 +120,11 @@ class MotionFilter:
             self.count = 0
             net, inp = _encode_context(self.net_def, self.params, img_j)
             self.fmap, self.net, self.inp = gmap, net, inp
-            idx = self.video.counter
             # keep the pose/disp seeded by the frontend for this slot
-            # (depth_video.__item_setter skips None fields, :58-62)
+            # (depth_video.__item_setter skips None fields, :58-62);
+            # jnp-scalar index => one cached gather executable, not one
+            # compile per keyframe count
+            idx = jnp.int32(self.video.counter)
             pose = self.video.state.poses[idx]
             disp = self.video.state.disps[idx]
             self.video.append(

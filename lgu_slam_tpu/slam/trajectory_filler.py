@@ -25,13 +25,19 @@ class TrajectoryFiller:
         self.cfg = cfg
 
     def _fill(self, tstamps, images, intrinsics):
-        """trajectory_filler.py:37-79."""
+        """trajectory_filler.py:37-79.  The batch is padded to BATCH so all
+        device programs compile once."""
         video = self.video
         N = video.counter
         M = len(tstamps)
+        # pad the batch by repeating the last frame (results discarded)
+        while len(tstamps) < BATCH:
+            tstamps = list(tstamps) + [tstamps[-1]]
+            images = list(images) + [images[-1]]
+            intrinsics = list(intrinsics) + [intrinsics[-1]]
 
         ts = np.asarray(video.state.tstamp[:N])
-        Ps = video.state.poses[:N]
+        Ps = video.state.poses
 
         tt = np.asarray(tstamps, np.float32)
         t0 = np.asarray(
@@ -45,10 +51,10 @@ class TrajectoryFiller:
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
 
-        # write fill frames into scratch slots [N, N+M)
+        # write fill frames into scratch slots [N, N+BATCH)
         fd = video.state.fmaps.dtype
         s = video.state
-        idx = jnp.arange(N, N + M)
+        idx = jnp.int32(N) + jnp.arange(BATCH)
         fmaps = jnp.stack(
             [
                 _encode_features(self.net_def, self.params, jnp.asarray(im))
@@ -59,25 +65,25 @@ class TrajectoryFiller:
         s = s._replace(
             tstamp=s.tstamp.at[idx].set(jnp.asarray(tt)),
             poses=s.poses.at[idx].set(Gs),
-            disps=s.disps.at[idx].set(jnp.ones((M, h, w8))),
-            disps_sens=s.disps_sens.at[idx].set(jnp.zeros((M, h, w8))),
+            disps=s.disps.at[idx].set(jnp.ones((BATCH, h, w8))),
+            disps_sens=s.disps_sens.at[idx].set(jnp.zeros((BATCH, h, w8))),
             intrinsics=s.intrinsics.at[idx].set(
                 jnp.asarray(np.stack(intrinsics), jnp.float32) / 8.0
             ),
             fmaps=s.fmaps.at[idx, 0].set(fmaps.astype(fd)),
         )
         video.state = s
-        video.counter = N + M
+        video.counter = N + BATCH
 
         graph = FactorGraph(
             self.net_def, self.params, video, self.cfg,
             corr_impl="volume", max_factors=4 * BATCH,
             edge_bucket=2 * BATCH, inactive_bucket=8,
         )
-        graph.add_factors(t0, np.arange(N, N + M))
-        graph.add_factors(t1, np.arange(N, N + M))
+        graph.add_factors(t0, np.arange(N, N + BATCH))
+        graph.add_factors(t1, np.arange(N, N + BATCH))
 
-        graph.update_n(6, t0=N, t1=N + M, motion_only=True)
+        graph.update_n(6, t0=N, t1=N + BATCH, motion_only=True)
 
         poses_out = np.asarray(video.state.poses[N : N + M])
         video.counter = N
