@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     import jax
     import jax.numpy as jnp
 

@@ -78,3 +78,14 @@ class KANLinear(nn.Module):
         spline_out = jnp.einsum("big,igo->bo", bases, scaled_spline)
         out = base_out + spline_out
         return out.reshape(shape[:-1] + (O,))
+
+
+def kan_regularization_loss(spline_weight, regularize_activation=1.0,
+                            regularize_entropy=1.0):
+    """L1 + entropy regularizer on the spline weights (kan.py:217-237);
+    spline_weight: [I, G+K, O] (this package's layout)."""
+    l1 = jnp.mean(jnp.abs(spline_weight), axis=1)  # [I, O]
+    act = jnp.sum(l1)
+    p = l1 / jnp.maximum(act, 1e-12)
+    ent = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)))
+    return regularize_activation * act + regularize_entropy * ent

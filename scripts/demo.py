@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--imagedir", required=True)
     p.add_argument("--depthdir", default=None, help="aligned depth (RGB-D)")

@@ -57,6 +57,9 @@ def eth3d_stream(datapath, stride=1, use_depth=True):
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True)
     p.add_argument("--weights", required=True)

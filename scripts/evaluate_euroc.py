@@ -58,6 +58,9 @@ def evaluate_sequence(datapath, params, net):
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True)
     p.add_argument("--weights", required=True)

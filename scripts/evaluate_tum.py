@@ -68,6 +68,9 @@ def evaluate_sequence(datapath, params, net, use_depth=False):
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True, help="TUM root dir")
     p.add_argument("--weights", required=True)

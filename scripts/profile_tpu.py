@@ -25,6 +25,9 @@ def timeit(fn, *args, reps=20, **kw):
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     import jax
     import jax.numpy as jnp
 

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--name", default="lgu_tpu")
     p.add_argument("--datapath", required=True)

@@ -54,6 +54,9 @@ def evaluate_scene(scene, params, net, stereo=False):
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--datapath", required=True, help="TartanAir test root")
     p.add_argument("--weights", required=True)

@@ -12,6 +12,9 @@ import numpy as np
 
 
 def main():
+    from lgu_slam_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--reconstruction", required=True, help=".npz path")
     p.add_argument("--out", default="reconstruction.ply")
