@@ -169,6 +169,7 @@ def _compact(buffers, perm, keep_mask):
     jax.jit,
     static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
                      "motion_only"),
+    donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
 )
 def _update_loop(
     net_def,

@@ -51,7 +51,12 @@ def make_video_state(cfg: SLAMConfig, feat_dtype=None) -> VideoState:
         poses=poses,
         disps=jnp.ones((N, h, w), jnp.float32),
         disps_sens=jnp.zeros((N, h, w), jnp.float32),
-        disps_up=jnp.zeros((N, H, W), jnp.float32),
+        # full-res buffer only materialized when upsampling is on
+        disps_up=(
+            jnp.zeros((N, H, W), jnp.float32)
+            if cfg.upsample
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        ),
         intrinsics=jnp.zeros((N, 4), jnp.float32),
         fmaps=jnp.zeros((N, rig, h, w, 128), fd),
         nets=jnp.zeros((N, h, w, 128), fd),
