@@ -35,12 +35,26 @@ RADIUS = 3
 
 
 class CorrPyramid(NamedTuple):
-    """Per-edge correlation state (all arrays lead with the edge axis)."""
+    """Per-edge correlation state (all arrays lead with the edge axis).
 
-    levels: tuple  # level i: [E, H, W, H/2^i, W/2^i]
+    Levels are stored *flat* — [E, H*W, (H/2^i) * (W/2^i)] — so the TPU
+    lane dimension stays large (no padding of the small trailing W/2^i
+    dims, no relayout copy per lookup).  Level target dims derive
+    statically from the base (H, W) carried by ``offsets``.
+    """
+
+    levels: tuple  # level i: [E, H*W, h_i * w_i]
     offsets: tuple  # (off0, off1): [E, H, W, 7, 7, 2]
     mean: jnp.ndarray  # [E, H, W, 2] Gaussian means (training loss)
     theta: jnp.ndarray  # [E, H, W] 2*det (training loss)
+
+    def level_dims(self):
+        h, w = self.offsets[0].shape[1:3]
+        dims = []
+        for _ in range(len(self.levels)):
+            dims.append((h, w))
+            h, w = h // 2, w // 2
+        return dims
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -145,13 +159,13 @@ def build_corr_pyramid(
         from lgu_slam_tpu.ops.pallas_corr import masked_corr_level0  # noqa: PLC0415
 
         lvl0 = masked_corr_level0(
-            fmap1, fmap2, mean, cov, out_dtype=volume_dtype
-        )
+            fmap1, fmap2, mean, cov, out_dtype=volume_dtype, flat=True
+        )  # [E, P, P]
     elif E % edge_chunk == 0 and E > edge_chunk:
         n = E // edge_chunk
 
         def chunk(args):
-            return masked_level0(*args)
+            return masked_level0(*args).reshape(edge_chunk, P, P)
 
         lvl0 = jax.lax.map(
             chunk,
@@ -162,51 +176,76 @@ def build_corr_pyramid(
                 cov.reshape((n, edge_chunk) + cov.shape[1:]),
                 det.reshape((n, edge_chunk) + det.shape[1:]),
             ),
-        ).reshape((E, H, W, H, W))
+        ).reshape((E, P, P))
     else:
-        lvl0 = masked_level0(fmap1, fmap2, mean, cov, det)
+        lvl0 = masked_level0(fmap1, fmap2, mean, cov, det).reshape(E, P, P)
 
-    # pooled levels, chunked over edges to bound fp32 transients
+    # pooled levels (flat), chunked over edges to bound fp32 transients
     levels = [lvl0]
     v = lvl0
+    h2, w2 = H, W
     for _ in range(NUM_LEVELS - 1):
+        ho, wo = h2 // 2, w2 // 2
+
+        def pool_flat(x, h2=h2, w2=w2, ho=ho, wo=wo):
+            x = x.astype(jnp.float32).reshape(-1, P, h2, w2)
+            x = x[..., : ho * 2, : wo * 2].reshape(-1, P, ho, 2, wo, 2)
+            return x.mean(axis=(3, 5)).reshape(-1, P, ho * wo).astype(
+                volume_dtype
+            )
+
         if E % edge_chunk == 0 and E > edge_chunk:
             n = E // edge_chunk
             v = jax.lax.map(
-                lambda x: _avg_pool_last2(x.astype(jnp.float32)).astype(
-                    volume_dtype
-                ),
-                v.reshape((n, edge_chunk) + v.shape[1:]),
-            ).reshape((E,) + v.shape[1:3] + (v.shape[3] // 2, v.shape[4] // 2))
+                pool_flat, v.reshape((n, edge_chunk, P, h2 * w2))
+            ).reshape((E, P, ho * wo))
         else:
-            v = _avg_pool_last2(v.astype(jnp.float32)).astype(volume_dtype)
+            v = pool_flat(v)
         levels.append(v)
+        h2, w2 = ho, wo
 
     return CorrPyramid(tuple(levels), (off0, off1), mean, 2.0 * det)
 
 
 def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
-    """Deformable pyramid lookup (corr.py:88-109).
+    """Deformable pyramid lookup (corr.py:88-109) on flat levels.
 
     coords: [E, H, W, 2] (x, y) at 1/8 resolution.
     Returns [E, H, W, 196] correlation features.
     """
-    # level-1 variance gate of the deformable offsets (corr.py:94-99)
-    probe = corr_index(pyr.levels[1], coords / 2.0, 1)  # [E, 9, H, W]
-    var = jnp.var(probe, axis=1, ddof=1)  # torch.var is unbiased
-    gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E,H,W,1,1,1]
+    from lgu_slam_tpu.ops.sampler import (  # noqa: PLC0415
+        corr_index_flat,
+        defcorr_index_flat,
+    )
 
-    off0, off1 = pyr.offsets
-    offs = (off0, off1 * gate, jnp.zeros_like(off0), jnp.zeros_like(off0))
+    E, H, W, _ = coords.shape
+    P1 = H * W
+    dims = pyr.level_dims()
+    cflat = coords.reshape(E, P1, 2)
+
+    # level-1 variance gate of the deformable offsets (corr.py:94-99)
+    h1, w1 = dims[1]
+    probe = corr_index_flat(
+        pyr.levels[1], h1, w1, cflat / 2.0, 1
+    )  # [E, P1, 9]
+    var = jnp.var(probe, axis=-1, ddof=1)  # torch.var is unbiased
+    gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E, P1, 1,1,1]
+
+    rd = 2 * RADIUS + 1
+    off0 = pyr.offsets[0].reshape(E, P1, rd, rd, 2)
+    off1 = pyr.offsets[1].reshape(E, P1, rd, rd, 2)
+    zeros = jnp.zeros_like(off0)
+    offs = (off0, off1 * gate, zeros, zeros)
 
     out = []
     for i in range(NUM_LEVELS):
-        c = defcorr_index(
-            pyr.levels[i], coords / (2.0 ** i), offs[i], RADIUS
-        )  # [E, 49, H, W]
+        hh, ww = dims[i]
+        c = defcorr_index_flat(
+            pyr.levels[i], hh, ww, cflat / (2.0 ** i), offs[i], RADIUS
+        )  # [E, P1, 49]
         out.append(c)
-    feats = jnp.concatenate(out, axis=1)  # [E, 196, H, W]
-    return feats.transpose(0, 2, 3, 1)
+    feats = jnp.concatenate(out, axis=-1)  # [E, P1, 196]
+    return feats.reshape(E, H, W, 196)
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,7 @@ def _kernel(f1_ref, f2_ref, mean_ref, cov_ref, out_ref, *, H2, W2, radius,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "out_dtype", "interpret")
+    jax.jit, static_argnames=("radius", "out_dtype", "interpret", "flat")
 )
 def masked_corr_level0(
     fmap1,
@@ -66,6 +66,7 @@ def masked_corr_level0(
     radius: int = 4,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    flat: bool = False,
 ):
     """fmap1/fmap2: [E, H, W, C] raw features (the kernel applies the 1/16
     joint scaling); mean/cov: [E, H, W, 2].
@@ -99,4 +100,6 @@ def masked_corr_level0(
         out_shape=jax.ShapeDtypeStruct((E, P, P), out_dtype),
         interpret=interpret,
     )(f1, f2, mean2, cov2)
+    if flat:
+        return out  # [E, P, P]
     return out.reshape(E, H, W, H, W)

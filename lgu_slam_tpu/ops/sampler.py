@@ -57,18 +57,14 @@ def _window_taps(radius: int):
     return dx, dy
 
 
-def _sample_taps(volume: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
-    """Bilinear sample of the volume at per-tap float positions.
+def sample_taps_flat(vol: jnp.ndarray, H2: int, W2: int,
+                     px: jnp.ndarray, py: jnp.ndarray):
+    """Bilinear sample from a *flattened* volume.
 
-    volume: [B, H1, W1, H2, W2]; px/py: [B, H1, W1, K].
-    Returns [B, H1, W1, K] with the reference boundary rules.
+    vol: [B, P1, H2*W2] (keeping the volume flat avoids TPU lane padding of
+    small trailing dims and the relayout copy a reshape would cost);
+    px/py: [B, P1, K].  Returns [B, P1, K].
     """
-    B, H1, W1, H2, W2 = volume.shape
-    K = px.shape[-1]
-    vol = volume.reshape(B, H1 * W1, H2 * W2)
-    px = px.reshape(B, H1 * W1, K)
-    py = py.reshape(B, H1 * W1, K)
-
     x1 = jnp.floor(px)
     y1 = jnp.floor(py)
     dx = px - x1
@@ -90,8 +86,52 @@ def _sample_taps(volume: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
         + v12 * dy * (1.0 - dx)
         + v22 * dy * dx
     )
-    out = jnp.where(base_ok, out, 0.0)
+    return jnp.where(base_ok, out, 0.0)
+
+
+def _sample_taps(volume: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """5-D volume wrapper over :func:`sample_taps_flat`.
+
+    volume: [B, H1, W1, H2, W2]; px/py: [B, H1, W1, K].
+    """
+    B, H1, W1, H2, W2 = volume.shape
+    K = px.shape[-1]
+    out = sample_taps_flat(
+        volume.reshape(B, H1 * W1, H2 * W2), H2, W2,
+        px.reshape(B, H1 * W1, K), py.reshape(B, H1 * W1, K),
+    )
     return out.reshape(B, H1, W1, K)
+
+
+def corr_index_flat(vol_flat: jnp.ndarray, H2: int, W2: int,
+                    coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Plain lookup on a flat volume: vol [B, P1, H2*W2],
+    coords [B, P1, 2] -> [B, P1, K]."""
+    dx, dy = _window_taps(radius)
+    px = coords[..., 0:1] + dx
+    py = coords[..., 1:2] + dy
+    return sample_taps_flat(vol_flat, H2, W2, px, py)
+
+
+def defcorr_index_flat(
+    vol_flat: jnp.ndarray,
+    H2: int,
+    W2: int,
+    coords: jnp.ndarray,
+    offset: jnp.ndarray,
+    radius: int,
+) -> jnp.ndarray:
+    """Deformable lookup on a flat volume: vol [B, P1, H2*W2],
+    coords [B, P1, 2], offset [B, P1, rd, rd, 2] -> [B, P1, K]."""
+    rd = 2 * radius + 1
+    center = jnp.zeros((rd, rd, 1), offset.dtype).at[radius, radius, 0].set(1.0)
+    offset = offset - center * jax.lax.stop_gradient(offset)
+
+    dx, dy = _window_taps(radius)
+    off = offset.reshape(offset.shape[:2] + (rd * rd, 2))
+    px = coords[..., 0:1] + off[..., 0] + dx
+    py = coords[..., 1:2] + off[..., 1] + dy
+    return sample_taps_flat(vol_flat, H2, W2, px, py)
 
 
 def corr_index(volume: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
