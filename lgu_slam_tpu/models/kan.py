@@ -80,6 +80,63 @@ class KANLinear(nn.Module):
         return out.reshape(shape[:-1] + (O,))
 
 
+def curve2coeff(x: jnp.ndarray, y: jnp.ndarray, grid: jnp.ndarray,
+                spline_order: int) -> jnp.ndarray:
+    """Least-squares spline coefficients interpolating y(x)
+    (kan.py:113-143 ``curve2coeff``).
+
+    x: [B, I]; y: [B, I, O]; grid: [I, G + 2*order + 1].
+    Returns [I, G + order, O] (this package's spline-weight layout).
+    """
+    A = bspline_bases(x, grid, spline_order)  # [B, I, G+K]
+    A = jnp.transpose(A, (1, 0, 2))  # [I, B, G+K]
+    B = jnp.transpose(y, (1, 0, 2))  # [I, B, O]
+    # batched least squares via normal equations with a small ridge —
+    # XLA has no batched lstsq; G+K is tiny (≤ 6) so this is exact enough
+    AtA = jnp.einsum("ibk,ibl->ikl", A, A)
+    AtB = jnp.einsum("ibk,ibo->iko", A, B)
+    ridge = 1e-8 * jnp.eye(A.shape[-1], dtype=A.dtype)
+    return jnp.linalg.solve(AtA + ridge, AtB)  # [I, G+K, O]
+
+
+def update_grid(x: jnp.ndarray, grid: jnp.ndarray, spline_weight: jnp.ndarray,
+                spline_scaler: jnp.ndarray, grid_size: int, spline_order: int,
+                margin: float = 0.01, grid_eps: float = 0.02):
+    """Refit the per-feature grid to the data distribution of x and refit
+    the spline weights to preserve the learned curve (kan.py:168-215
+    ``update_grid``).  Offline utility — pure function returning
+    (new_grid [I, G+2K+1], new_spline_weight [I, G+K, O]).
+    """
+    B, I = x.shape
+    G, K = grid_size, spline_order
+
+    bases = bspline_bases(x, grid, K)  # [B, I, G+K]
+    scaled = spline_weight * spline_scaler[:, None, :]  # [I, G+K, O]
+    y = jnp.einsum("big,igo->bio", bases, scaled)  # [B, I, O]
+
+    x_sorted = jnp.sort(x, axis=0)
+    idx = jnp.linspace(0, B - 1, G + 1).astype(jnp.int32)
+    grid_adaptive = x_sorted[idx]  # [G+1, I]
+    step = (x_sorted[-1] - x_sorted[0] + 2 * margin) / G
+    grid_uniform = (
+        jnp.arange(G + 1, dtype=x.dtype)[:, None] * step
+        + x_sorted[0] - margin
+    )
+    core = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
+    below = core[:1] - step * jnp.arange(K, 0, -1, dtype=x.dtype)[:, None]
+    above = core[-1:] + step * jnp.arange(1, K + 1, dtype=x.dtype)[:, None]
+    new_grid = jnp.concatenate([below, core, above], 0).T  # [I, G+2K+1]
+
+    new_spline_weight = curve2coeff(x, y, new_grid, K)
+    # the scaler multiplies the stored weight on the forward pass; divide
+    # it back out so scaled weights reproduce the refit curve
+    new_spline_weight = new_spline_weight / jnp.where(
+        jnp.abs(spline_scaler[:, None, :]) < 1e-12, 1.0,
+        spline_scaler[:, None, :],
+    )
+    return new_grid, new_spline_weight
+
+
 def kan_regularization_loss(spline_weight, regularize_activation=1.0,
                             regularize_entropy=1.0):
     """L1 + entropy regularizer on the spline weights (kan.py:217-237);
