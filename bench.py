@@ -83,18 +83,32 @@ def main():
     )
 
     def keyframe_step():
+        # the real per-tracked-keyframe frontend path
+        # (droid_frontend.py:35-73): age out old edges, re-plan proximity
+        # edges (device frame-distance + host NMS -> plan rebuild), then
+        # the fused {pyramid build + 8x(GRU update + DBA)} device program.
+        graph.rm_factors(graph.age > cfg.max_age, store=True)
+        graph.add_proximity_factors(
+            T - 5, max(0, T - cfg.frontend_window), rad=cfg.frontend_radius,
+            nms=cfg.frontend_nms, thresh=cfg.frontend_thresh, remove=True,
+        )
         graph._pyr_dirty = True  # new keyframe -> pyramid rebuild
         graph.update_n(8, use_inactive=True)
 
+    def sync():
+        # device->host transfer: a true pipeline drain (block_until_ready
+        # can return early over the axon tunnel)
+        np.asarray(video.state.poses[:1])
+
     # warmup/compile
     keyframe_step()
-    jax.block_until_ready(video.state.poses)
+    sync()
 
     reps = 20
     start = time.perf_counter()
     for _ in range(reps):
         keyframe_step()
-    jax.block_until_ready(video.state.poses)
+    sync()
     dt = time.perf_counter() - start
 
     kf_per_s = reps / dt

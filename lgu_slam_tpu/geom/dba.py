@@ -16,18 +16,25 @@ Key TPU design decisions
   only when the host mutates the factor graph, so the Schur row grouping by
   depth frame is computed once per topology in NumPy (:class:`DbaPlan`) and
   shipped as device arrays.  The jitted step never retraces for a fixed
-  (E_max, N, P, D_max) bucket.
-- **Schur product as one batched einsum.**  Rows of the E matrix are
-  grouped per depth frame into ``[N, D_max, 6, HW]`` and the
-  ``E Q E^T`` products become a single MXU-batched contraction instead of
-  the reference's per-pair 6x6 CUDA kernels.
+  (E_max, K, P, D_max) bucket.
+- **Compact frame slots.**  Depth-side state (C/w/Q, E-matrix rows, Schur
+  grouping, back-substitution) lives on ``K`` compact *edge-frame slots*
+  (the unique source frames of the edge list, host-planned), not on the
+  full N=512 keyframe buffer — an ~8x cut in HBM traffic and FLOPs for a
+  48-edge frontend window.
+- **Schur product as batched einsums + one-hot matmuls.**  Rows of the E
+  matrix are grouped per depth slot into ``[K, D_max, 6, HW]``; the
+  ``E Q E^T`` products are one MXU-batched contraction, and the assembly
+  into the dense pose system uses one-hot matmul contractions instead of
+  giant scatter-adds (TPU scatters with millions of duplicate indices
+  serialize; matmuls don't).
 - fp32 throughout with damping ``ep + lm*diag``; non-finite updates are
   replaced by zero updates (solver-failure fallback).
 
-E-matrix row layout mirrors the reference: rows [0, N) are per-frame
-"self" rows (Eii aggregated over edges with source frame k; pose k; active
-only for k in [t0, t1)), rows [N, N+E) are per-edge Eij rows
-(pose jj[e], depth frame ii[e]).
+E-matrix row layout (compact analog of the reference's): rows [0, K) are
+per-slot "self" rows (Eii aggregated over edges with source frame
+kf_ids[s]; pose kf_ids[s]), rows [K, K+E) are per-edge Eij rows
+(pose jj[e], depth slot edge_slot[e]).
 
 Reference quirk replicated on purpose: the back-substitution skips rows
 whose pose is exactly t0 (EvT6x1_kernel's ``idx <= 0`` guard,
@@ -52,15 +59,68 @@ DEPTH_PRIOR_ALPHA = 0.05  # droid_kernels.cu:1396
 
 @dataclass
 class DbaPlan:
-    """Host-computed topology plan for one factor-graph configuration."""
+    """Host-computed topology plan for one factor-graph configuration.
+
+    ``kf_ids`` lists the unique source frames of the live edges (the only
+    frames whose depth the DBA touches — matching the reference, whose
+    depth updates come solely from edge rows).  Row space for
+    ``rows_of_frame`` is [0, K) self rows then [K, K+E) edge rows.
+    """
 
     ii: np.ndarray  # [E] int32, padded with 0
     jj: np.ndarray  # [E]
     edge_mask: np.ndarray  # [E] float32
-    rows_of_frame: np.ndarray  # [N, D_max] int32, -1 padded
+    kf_ids: np.ndarray  # [K] int32, padded with num_frames
+    kf_mask: np.ndarray  # [K] float32
+    edge_slot: np.ndarray  # [E] int32 slot of ii[e] (K for dead edges)
+    rows_of_frame: np.ndarray  # [K, D_max] int32 into [K+E), -1 padded
+
+    def jax_arrays(self):
+        """The seven plan arrays as device arrays, in dba_step order."""
+        return tuple(
+            jnp.asarray(a) for a in (
+                self.ii, self.jj, self.edge_mask, self.kf_ids,
+                self.kf_mask, self.edge_slot, self.rows_of_frame,
+            )
+        )
 
     @staticmethod
-    def build(ii, jj, num_frames: int, edge_bucket: int, dmax_bucket: int | None = None):
+    def _slots(ii, jj, mask, num_frames, dmax_bucket, frame_bucket):
+        """Shared slot/grouping construction.  The bucket args are
+        *floors*: callers pass their largest previously-seen buckets so
+        plan shapes stay stable across topology changes (a shape change
+        retraces the fused update program — tens of seconds of XLA
+        compile per occurrence)."""
+        E = ii.shape[0]
+        live = np.nonzero(mask > 0)[0]
+        kf = np.unique(ii[live]) if live.size else np.zeros(0, np.int32)
+        need_k = max(8, 1 << int(np.ceil(np.log2(max(len(kf), 1)))))
+        K = need_k if frame_bucket is None else max(frame_bucket, need_k)
+
+        kf_ids = np.full(K, num_frames, np.int32)
+        kf_ids[: len(kf)] = kf
+        kf_mask = np.zeros(K, np.float32)
+        kf_mask[: len(kf)] = 1.0
+        slot_of = {int(f): s for s, f in enumerate(kf)}
+
+        edge_slot = np.full(E, K, np.int32)
+        groups = [[s] for s in range(K)]
+        for e in live:
+            s = slot_of[int(ii[e])]
+            edge_slot[e] = s
+            groups[s].append(K + int(e))
+        deg = max(len(g) for g in groups)
+        need_d = max(8, 1 << int(np.ceil(np.log2(deg))))
+        D = need_d if dmax_bucket is None else max(dmax_bucket, need_d)
+        rof = np.full((K, D), -1, np.int32)
+        for s, g in enumerate(groups):
+            rof[s, : len(g)] = g
+        return kf_ids, kf_mask, edge_slot, rof
+
+    @staticmethod
+    def build(ii, jj, num_frames: int, edge_bucket: int,
+              dmax_bucket: int | None = None,
+              frame_bucket: int | None = None):
         """Plan from an edge list (host numpy).  Pads edges to ``edge_bucket``."""
         ii = np.asarray(ii, np.int32).reshape(-1)
         jj = np.asarray(jj, np.int32).reshape(-1)
@@ -71,43 +131,24 @@ class DbaPlan:
         mask = np.concatenate([np.ones(E, np.float32), np.zeros(pad, np.float32)])
         ii_p = np.concatenate([ii, np.zeros(pad, np.int32)])
         jj_p = np.concatenate([jj, np.zeros(pad, np.int32)])
-
-        N = num_frames
-        # rows grouped by depth frame: self row k first, then edge rows N+e
-        groups = [[k] for k in range(N)]
-        for e in range(E):
-            groups[int(ii[e])].append(N + e)
-        deg = max(len(g) for g in groups)
-        if dmax_bucket is None:
-            dmax_bucket = max(8, 1 << int(np.ceil(np.log2(deg))))
-        if deg > dmax_bucket:
-            raise ValueError(f"frame degree {deg} exceeds bucket {dmax_bucket}")
-        rof = np.full((N, dmax_bucket), -1, np.int32)
-        for k, g in enumerate(groups):
-            rof[k, : len(g)] = g
-        return DbaPlan(ii_p, jj_p, mask, rof)
+        kf_ids, kf_mask, edge_slot, rof = DbaPlan._slots(
+            ii_p, jj_p, mask, num_frames, dmax_bucket, frame_bucket
+        )
+        return DbaPlan(ii_p, jj_p, mask, kf_ids, kf_mask, edge_slot, rof)
 
     @staticmethod
     def build_masked(ii, jj, mask, num_frames: int,
-                     dmax_bucket: int | None = None):
+                     dmax_bucket: int | None = None,
+                     frame_bucket: int | None = None):
         """Plan from already-padded edge arrays with a validity mask,
-        preserving slot positions (edge e -> row num_frames + e)."""
+        preserving slot positions (edge e -> row K + e)."""
         ii = np.asarray(ii, np.int32).reshape(-1)
         jj = np.asarray(jj, np.int32).reshape(-1)
         mask = np.asarray(mask, np.float32).reshape(-1)
-        N = num_frames
-        groups = [[k] for k in range(N)]
-        for e in np.nonzero(mask > 0)[0]:
-            groups[int(ii[e])].append(N + int(e))
-        deg = max(len(g) for g in groups)
-        if dmax_bucket is None:
-            dmax_bucket = max(8, 1 << int(np.ceil(np.log2(deg))))
-        if deg > dmax_bucket:
-            raise ValueError(f"frame degree {deg} exceeds bucket {dmax_bucket}")
-        rof = np.full((N, dmax_bucket), -1, np.int32)
-        for k, g in enumerate(groups):
-            rof[k, : len(g)] = g
-        return DbaPlan(ii, jj, mask, rof)
+        kf_ids, kf_mask, edge_slot, rof = DbaPlan._slots(
+            ii, jj, mask, num_frames, dmax_bucket, frame_bucket
+        )
+        return DbaPlan(ii, jj, mask, kf_ids, kf_mask, edge_slot, rof)
 
 
 def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj, edge_mask):
@@ -221,6 +262,9 @@ def dba_step(
     ii,
     jj,
     edge_mask,
+    kf_ids,
+    kf_mask,
+    edge_slot,
     rows_of_frame,
     t0,
     t1,
@@ -237,27 +281,40 @@ def dba_step(
 
     poses [N,7], disps/disps_sens [N,H,W], intrinsics [4] (1/8 res, shared),
     target/weight [E,H,W,2], eta [N,H,W] per-frame damping,
-    ii/jj/edge_mask [E] padded edge list, rows_of_frame [N,D_max],
+    ii/jj/edge_mask [E] padded edge list,
+    kf_ids/kf_mask [K] compact edge-frame slots, edge_slot [E] slot of
+    ii[e] (K when dead), rows_of_frame [K,D_max] rows into [0, K+E),
     t0/t1 dynamic int32 scalars bounding the pose window, P static pose
     bucket (>= t1 - t0).  Returns (poses, disps).
+
+    All depth-side work runs on the K compact slots; it scatters back to
+    the N-frame buffer only once per iteration (the dz update).
     """
     N, ht, wd = disps.shape
     HW = ht * wd
+    K = kf_ids.shape[0]
     intr_n = jnp.broadcast_to(intrinsics, (N, 4))
+    f32 = disps.dtype
 
-    frames = jnp.arange(N)
-    in_window = (frames >= t0) & (frames < t1)
-    edge_on = (edge_mask > 0).astype(jnp.int32)
-    has_edge = jnp.zeros(N, jnp.int32).at[ii].add(edge_on) > 0
-    frame_active = (in_window | has_edge).astype(disps.dtype)
+    kf_clip = jnp.minimum(kf_ids, N - 1)
+    slot_frame = jnp.where(kf_mask > 0, kf_ids, N)  # pad -> drop on scatter
+    # one-hot edge -> slot ([E, K]); dead edges have edge_slot == K
+    oh_es = (edge_slot[:, None] == jnp.arange(K)[None, :]).astype(f32)
 
-    row_pose = jnp.concatenate([frames, jj])  # [N+E]
-    row_frame = jnp.concatenate([frames, ii])
-    row_live = jnp.concatenate([in_window, edge_mask > 0])
+    row_pose = jnp.concatenate([slot_frame, jj])  # [K+E]
+    row_slot = jnp.concatenate(
+        [jnp.arange(K), jnp.minimum(edge_slot, K - 1)]
+    )
+    row_live = jnp.concatenate([kf_mask > 0, edge_mask > 0])
 
-    D = rows_of_frame.shape[1]
     rof_ok = rows_of_frame >= 0
     rof_safe = jnp.where(rof_ok, rows_of_frame, 0)
+
+    # slot-gathered static per-frame state
+    m_s = (disps_sens[kf_clip] > 0).astype(f32).reshape(K, HW) \
+        * kf_mask[:, None]
+    sens_s = disps_sens[kf_clip].reshape(K, HW)
+    eta_s = eta[kf_clip].reshape(K, HW)
 
     def gn_iter(_, state):
         poses, disps = state
@@ -271,20 +328,18 @@ def dba_step(
             new_poses = _retract_window(poses, dx, t0, N)
             return new_poses, disps
 
-        # depth diagonal + rhs with RGB-D prior (droid_kernels.cu:1395-1399)
-        m = (disps_sens > 0).astype(disps.dtype).reshape(N, HW)
-        C = jnp.zeros((N, HW), disps.dtype).at[ii].add(Cii * edge_mask[:, None])
-        C = C + m * alpha + (1.0 - m) * eta.reshape(N, HW)
-        w = jnp.zeros((N, HW), disps.dtype).at[ii].add(bz * edge_mask[:, None])
-        w = w - m * alpha * (disps - disps_sens).reshape(N, HW)
-        Q = 1.0 / C
+        disps_s = disps.reshape(N, HW)[kf_clip]
 
-        # E-matrix rows
-        Ei_self = jnp.zeros((N, 6, HW), disps.dtype).at[ii].add(
-            Eii * edge_mask[:, None, None]
-        )
-        Ei_self = Ei_self * in_window[:, None, None].astype(disps.dtype)
-        E_rows = jnp.concatenate([Ei_self, Eij], axis=0)  # [N+E, 6, HW]
+        # depth diagonal + rhs with RGB-D prior (droid_kernels.cu:1395-1399)
+        Cs = jnp.einsum("ek,eh->kh", oh_es, Cii)
+        Cs = Cs + m_s * alpha + (1.0 - m_s) * eta_s
+        ws = jnp.einsum("ek,eh->kh", oh_es, bz)
+        ws = ws - m_s * alpha * (disps_s - sens_s)
+        Qs = 1.0 / Cs  # [K, HW]
+
+        # E-matrix rows: K slot self-rows then E edge rows
+        Ei_self = jnp.einsum("ek,eah->kah", oh_es, Eii)  # [K, 6, HW]
+        E_rows = jnp.concatenate([Ei_self, Eij], axis=0)  # [K+E, 6, HW]
 
         rp = row_pose - t0
         ok_schur = (rp >= 0) & (rp < P) & (row_pose < t1) & row_live
@@ -297,43 +352,46 @@ def dba_step(
             row_pose < t1
         ) & row_live
 
-        # group rows by depth frame -> [N, D, 6, HW], masked
+        # group rows by depth slot -> [K, D, 6, HW], masked
         g_ok = ok_schur[rof_safe] & rof_ok
-        Eg = E_rows[rof_safe] * g_ok[..., None, None].astype(disps.dtype)
+        Eg = E_rows[rof_safe] * g_ok[..., None, None].astype(f32)
 
-        # Schur blocks: S[k, d, e] = Eg[k,d] diag(Q_k) Eg[k,e]^T
-        EgQ = Eg * Q[:, None, None, :]
-        S_blocks = jnp.einsum("kdah,kebh->kdeab", EgQ, Eg)
+        # Schur blocks: B[k, d, e] = Eg[k,d] diag(Q_k) Eg[k,e]^T
+        EgQ = Eg * Qs[:, None, None, :]
+        B = jnp.einsum("kdah,kebh->kdeab", EgQ, Eg)
 
-        gp = jnp.where(g_ok, row_pose[rof_safe] - t0, 0)  # [N, D]
-        gp_r = jnp.broadcast_to(gp[:, :, None], (N, D, D)).reshape(-1)
-        gp_c = jnp.broadcast_to(gp[:, None, :], (N, D, D)).reshape(-1)
-        Ssys = (
-            jnp.zeros((P, 6, P, 6), disps.dtype)
-            .at[gp_r, :, gp_c, :]
-            .add(S_blocks.reshape(-1, 6, 6))
-        )
+        # assemble into the dense pose system with one-hot contractions
+        # (a scatter-add over K*D*D duplicate indices serializes on TPU)
+        gp = jnp.where(g_ok, row_pose[rof_safe] - t0, 0)  # [K, D]
+        M = (gp[..., None] == jnp.arange(P)[None, None, :]).astype(f32) \
+            * g_ok[..., None].astype(f32)  # [K, D, P]
+        C1 = jnp.einsum("kdp,kdeab->kpeab", M, B)
+        Ssys = jnp.einsum("keq,kpeab->paqb", M, C1)  # [P, 6, P, 6]
 
-        # Schur rhs: v_s[pose(r)] += E_r . (Q w)[frame(r)]
-        Qw = Q * w
-        v_rows = jnp.einsum("rah,rh->ra", E_rows, Qw[row_frame])
-        v_rows = v_rows * ok_schur[:, None].astype(disps.dtype)
-        vs = jnp.zeros((P, 6), disps.dtype).at[jnp.where(ok_schur, rp, 0)].add(
-            v_rows
-        )
+        # Schur rhs: v_s[pose(r)] += E_r . (Q w)[slot(r)]
+        Qw_rows = (Qs * ws)[row_slot]  # [K+E, HW]
+        v_rows = jnp.einsum("rah,rh->ra", E_rows, Qw_rows)
+        R = (rp[:, None] == jnp.arange(P)[None, :]).astype(f32) \
+            * ok_schur[:, None].astype(f32)  # [K+E, P]
+        vs = jnp.einsum("rp,ra->pa", R, v_rows)
 
         dx = _solve_damped(A - Ssys, b - vs, t0, t1, P, lm, ep)
 
-        # back-substitution: dz_k = Q_k (w_k - sum_{rows r of k} E_r^T dx[pose_r])
+        # back-substitution:
+        # dz_k = Q_k (w_k - sum_{rows r of k} E_r^T dx[pose_r])
         dx_pad = jnp.concatenate([dx, jnp.zeros((1, 6), dx.dtype)], axis=0)
         rp_bs = jnp.where(ok_bsub, rp, P)
         dw_rows = jnp.einsum("rah,ra->rh", E_rows, dx_pad[rp_bs])
-        dw = jnp.zeros((N, HW), disps.dtype).at[row_frame].add(dw_rows)
-        dz = Q * (w - dw)
-        dz = jnp.where(jnp.isfinite(dz), dz, 0.0) * frame_active[:, None]
+        RS = (row_slot[:, None] == jnp.arange(K)[None, :]).astype(f32) \
+            * row_live[:, None].astype(f32)  # [K+E, K]
+        dw_s = jnp.einsum("rk,rh->kh", RS, dw_rows)
+        dz_s = Qs * (ws - dw_s)
+        dz_s = jnp.where(jnp.isfinite(dz_s), dz_s, 0.0) * kf_mask[:, None]
 
         new_poses = _retract_window(poses, dx, t0, N)
-        new_disps = disps + dz.reshape(N, ht, wd)
+        new_disps = disps.at[slot_frame].add(
+            dz_s.reshape(K, ht, wd), mode="drop"
+        )
         return new_poses, new_disps
 
     poses, disps = jax.lax.fori_loop(0, iters, gn_iter, (poses, disps))

@@ -165,13 +165,7 @@ def _compact(buffers, perm, keep_mask):
     return jax.tree_util.tree_map(one, buffers)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
-                     "motion_only"),
-    donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
-)
-def _update_loop(
+def _update_loop_impl(
     net_def,
     params,
     video_state,
@@ -189,6 +183,9 @@ def _update_loop(
     dba_ii,
     dba_jj,
     dba_mask,
+    dba_kf_ids,
+    dba_kf_mask,
+    dba_edge_slot,
     rows_of_frame,
     t0,
     t1,
@@ -227,13 +224,53 @@ def _update_loop(
         poses2, disps2 = dba_step(
             poses, disps, video_state.intrinsics[0], video_state.disps_sens,
             dba_target, dba_weight, eta_dense,
-            dba_ii, dba_jj, dba_mask, rows_of_frame, t0, t1,
+            dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
+            dba_edge_slot, rows_of_frame, t0, t1,
             P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=motion_only,
         )
         return (net2, target2, weight2, poses2, disps2, damping2,
                 upmask.astype(jnp.float32))
 
     return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
+                     "motion_only"),
+    donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
+)
+def _update_loop(net_def, params, video_state, pyr, net, *rest, **kw):
+    """n_iters x {GRU update + DBA} as one device program (cached-pyramid
+    path; see _update_loop_impl)."""
+    return _update_loop_impl(net_def, params, video_state, pyr, net,
+                             *rest, **kw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
+                     "motion_only"),
+    donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
+)
+def _build_and_update_loop(
+    net_def, params, video_state, stereo_c, net, ii, jj, target, weight,
+    *loop_args, **loop_kw,
+):  # noqa: D401 — signature split so jit maps static/donated args by name
+    """Pyramid rebuild fused with the n-iteration update loop — ONE device
+    dispatch per tracked keyframe.  Over the axon tunnel each dispatch
+    costs ~1 ms RTT, which dominated the split pyramid+loop formulation;
+    the rebuilt pyramid is returned so later cached-pyramid calls
+    (droid_frontend.py:60-66 second iteration burst) can reuse it."""
+    f1 = video_state.fmaps[ii, 0].astype(jnp.float32)
+    f2 = video_state.fmaps[jj, stereo_c].astype(jnp.float32)
+    pyr = net_def.apply({"params": params}, f1, f2,
+                        method=LGUNet.build_corr)
+    out = _update_loop_impl(
+        net_def, params, video_state, pyr, net, ii, jj, target, weight,
+        *loop_args, **loop_kw
+    )
+    return pyr, out
 
 
 @jax.jit
@@ -306,6 +343,16 @@ class FactorGraph:
         self.pyramid: CorrPyramid | None = None
         self.fmap_pyr = None  # alt (low-memory) impl
         self._pyr_dirty = True
+        # host planning cache: update_n's DBA plan / frame-slot compaction /
+        # inactive-edge gathers are pure functions of the topology, so they
+        # are reused until an edge/keyframe mutation bumps _topo_version
+        self._topo_version = 0
+        self._plan_key = None
+        self._plan = None
+        # grow-only DbaPlan buckets so plan shapes stay stable across
+        # topology changes (a shape change = full XLA recompile)
+        self._dmax = cfg.frame_degree_bucket
+        self._kbucket = cfg.frame_bucket
 
     # -- host-side helpers --------------------------------------------------
 
@@ -386,6 +433,7 @@ class FactorGraph:
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(ii.size, np.int32)])
         self._pyr_dirty = True
+        self._topo_version += 1
 
     # -- edge removal / compaction -----------------------------------------
 
@@ -439,10 +487,12 @@ class FactorGraph:
         self.jj = self.jj[keep]
         self.age = self.age[keep]
         self._pyr_dirty = True
+        self._topo_version += 1
 
     def rm_keyframe(self, ix: int):
         """Delete keyframe ix: shift video slot, re-index edges
         (factor_graph.py:170-200)."""
+        self._topo_version += 1  # inactive lists re-index below
         self.video.state = video_remove_keyframe(self.video.state, jnp.int32(ix))
         self.video.counter -= 1
 
@@ -538,56 +588,90 @@ class FactorGraph:
         if self.n_edges == 0:
             return
         cfg = self.cfg
-        self._ensure_pyramid()
-        ii, jj, mask = self._edge_arrays()
-        frame_ids, edge_slot, F = self._frame_slots(cfg.frame_bucket)
+        fuse_build = self._pyr_dirty and self.corr_impl == "volume"
+        if not fuse_build:
+            self._ensure_pyramid()
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if t1 is None:
             t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
 
-        # inactive edge selection (fixed across the n iterations)
-        if use_inactive and len(self.ii_inac) > 0:
-            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
-            sel = np.where(m)[0]
+        plan_key = (self._topo_version, t0, t1, bool(use_inactive))
+        if plan_key == self._plan_key:
+            (ii, jj, mask, frame_ids, edge_slot, F, target_inac,
+             weight_inac, plan_dev, stereo_c) = self._plan
         else:
-            sel = np.zeros(0, np.int64)
-        k = len(sel)
-        sel_idx = jnp.asarray(np.pad(sel, (0, self.EI - k)).astype(np.int32))
-        target_inac = self.target_inac[sel_idx]
-        weight_inac = self.weight_inac[sel_idx]
+            ii, jj, mask = self._edge_arrays()
+            frame_ids, edge_slot, F = self._frame_slots(cfg.frame_bucket)
 
-        E_dba = self.E + self.EI
-        dba_ii = np.zeros(E_dba, np.int32)
-        dba_jj = np.zeros(E_dba, np.int32)
-        dba_mask = np.zeros(E_dba, np.float32)
-        ne = self.n_edges
-        dba_ii[:ne] = self.ii
-        dba_jj[:ne] = self.jj
-        dba_mask[:ne] = 1.0
-        dba_ii[self.E : self.E + k] = self.ii_inac[sel]
-        dba_jj[self.E : self.E + k] = self.jj_inac[sel]
-        dba_mask[self.E : self.E + k] = 1.0
+            # inactive edge selection (fixed across the n iterations)
+            if use_inactive and len(self.ii_inac) > 0:
+                m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+                sel = np.where(m)[0]
+            else:
+                sel = np.zeros(0, np.int64)
+            k = len(sel)
+            sel_idx = jnp.asarray(
+                np.pad(sel, (0, self.EI - k)).astype(np.int32))
+            target_inac = self.target_inac[sel_idx]
+            weight_inac = self.weight_inac[sel_idx]
 
-        plan = DbaPlan.build_masked(dba_ii, dba_jj, dba_mask, cfg.buffer)
+            E_dba = self.E + self.EI
+            dba_ii = np.zeros(E_dba, np.int32)
+            dba_jj = np.zeros(E_dba, np.int32)
+            dba_mask = np.zeros(E_dba, np.float32)
+            ne = self.n_edges
+            dba_ii[:ne] = self.ii
+            dba_jj[:ne] = self.jj
+            dba_mask[:ne] = 1.0
+            dba_ii[self.E : self.E + k] = self.ii_inac[sel]
+            dba_jj[self.E : self.E + k] = self.jj_inac[sel]
+            dba_mask[self.E : self.E + k] = 1.0
+
+            plan = DbaPlan.build_masked(dba_ii, dba_jj, dba_mask, cfg.buffer,
+                                        dmax_bucket=self._dmax,
+                                        frame_bucket=self._kbucket)
+            self._dmax = plan.rows_of_frame.shape[1]
+            self._kbucket = plan.kf_ids.shape[0]
+            plan_dev = plan.jax_arrays()
+            rig = self.video.state.fmaps.shape[1]
+            c = np.zeros(self.E, np.int32)
+            c[: self.n_edges] = (self.ii == self.jj).astype(np.int32)
+            stereo_c = jnp.asarray(np.minimum(c, rig - 1))
+            self._plan_key = plan_key
+            self._plan = (ii, jj, mask, frame_ids, edge_slot, F,
+                          target_inac, weight_inac, plan_dev, stereo_c)
+
         P = cfg.pose_bucket if (t1 - t0) <= cfg.pose_bucket else cfg.buffer
-
-        net2, target, weight, poses, disps, damping, upmask = _update_loop(
-            self.net_def, self.params, self.video.state, self.pyramid,
-            self.net, ii, jj, self.target, self.weight, mask, edge_slot,
-            frame_ids, target_inac, weight_inac,
-            jnp.asarray(plan.ii), jnp.asarray(plan.jj),
-            jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
-            jnp.int32(t0), jnp.int32(t1),
+        loop_tail = (
+            mask, edge_slot, frame_ids, target_inac, weight_inac,
+            *plan_dev, jnp.int32(t0), jnp.int32(t1),
+        )
+        loop_kw = dict(
             num_slots=F, n_iters=n, P=P, dba_iters=itrs,
             lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, motion_only=motion_only,
         )
+        if fuse_build:
+            self.pyramid, out = _build_and_update_loop(
+                self.net_def, self.params, self.video.state, stereo_c,
+                self.net, ii, jj, self.target, self.weight,
+                *loop_tail, **loop_kw,
+            )
+            self._pyr_dirty = False
+        else:
+            out = _update_loop(
+                self.net_def, self.params, self.video.state, self.pyramid,
+                self.net, ii, jj, self.target, self.weight,
+                *loop_tail, **loop_kw,
+            )
+        net2, target, weight, poses, disps, damping, upmask = out
         self.net = net2
         self.target = target
         self.weight = weight
+        # disps already clamped to 1e-3 inside dba_step (depth_video.py:195)
         s = self.video.state._replace(
-            poses=poses, disps=jnp.maximum(disps, 1e-3), damping=damping
+            poses=poses, disps=disps, damping=damping
         )
         if self.upsample:
             n_used = len(np.unique(self.ii))
@@ -638,7 +722,10 @@ class FactorGraph:
 
         plan = DbaPlan.build(
             ii[emask > 0], jj[emask > 0], cfg.buffer, edge_bucket=E_dba,
+            dmax_bucket=self._dmax, frame_bucket=self._kbucket,
         )
+        self._dmax = plan.rows_of_frame.shape[1]
+        self._kbucket = plan.kf_ids.shape[0]
         # plan's padded arrays are ordered [active..., inactive..., pad] —
         # rebuild target/weight in that order:
         order = np.where(emask > 0)[0]
@@ -658,8 +745,7 @@ class FactorGraph:
         poses, disps = dba_step(
             s.poses, s.disps, s.intrinsics[0], s.disps_sens,
             target, weight, damping,
-            jnp.asarray(plan.ii), jnp.asarray(plan.jj),
-            jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+            *plan.jax_arrays(),
             jnp.int32(t0), jnp.int32(t1),
             P=P, iters=itrs, lm=cfg.dba_lm, ep=cfg.dba_ep,
             motion_only=motion_only,

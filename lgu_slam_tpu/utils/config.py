@@ -46,6 +46,7 @@ class SLAMConfig:
     inactive_bucket: int = 128  # stored inactive-edge slots
     pose_bucket: int = 40  # frontend BA window bucket
     frame_bucket: int = 48  # active-frame slots for GraphAgg/upsample
+    frame_degree_bucket: int = 32  # initial rows-per-frame plan padding
     backend_edge_cap: int = 1024  # global-BA edge budget (16*t capped)
     backend_chunk: int = 128  # low-memory update edge chunk
     add_chunk: int = 32  # new-edge batch granularity

@@ -117,8 +117,7 @@ def main():
     ms_dba = timeit(
         dba_step, video.poses, video.disps, video.intrinsics[0],
         video.disps_sens, target, weight, eta,
-        jnp.asarray(plan.ii), jnp.asarray(plan.jj),
-        jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+        *plan.jax_arrays(),
         jnp.int32(T - 12), jnp.int32(T), P=cfg.pose_bucket, iters=2,
         reps=20,
     )

@@ -45,8 +45,7 @@ def run_dba(poses, disps, intr, plan, target, weight, eta, sens, t0, t1, P,
     weight = pad_edges(weight, bucket)
     return dba_step(
         poses, disps, intr, sens, target, weight, eta,
-        jnp.asarray(plan.ii), jnp.asarray(plan.jj), jnp.asarray(plan.edge_mask),
-        jnp.asarray(plan.rows_of_frame),
+        *plan.jax_arrays(),
         jnp.int32(t0), jnp.int32(t1),
         P=P, iters=iters, motion_only=motion_only,
     )
@@ -90,8 +89,7 @@ def test_dba_matches_training_ba_poses(rng):
 
     p_dba, d_dba = dba_step(
         poses0, disps0, intr, sens, target, weight, eta,
-        jnp.asarray(plan.ii), jnp.asarray(plan.jj), jnp.asarray(plan.edge_mask),
-        jnp.asarray(plan.rows_of_frame),
+        *plan.jax_arrays(),
         jnp.int32(1), jnp.int32(N), P=N - 1, iters=1, lm=0.0, ep=0.1,
     )
 
@@ -162,8 +160,7 @@ def test_dba_padding_invariance(rng):
         wgt = jnp.zeros((bucket, H, W, 2)).at[: len(ii)].set(weight)
         p, d = dba_step(
             poses0, disps0, intr, sens, tgt, wgt, eta,
-            jnp.asarray(plan.ii), jnp.asarray(plan.jj),
-            jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+            *plan.jax_arrays(),
             jnp.int32(1), jnp.int32(N), P=P, iters=2,
         )
         outs.append((np.asarray(p), np.asarray(d)))

@@ -52,8 +52,7 @@ def test_sharded_dba_matches_single_device(rng):
     plan = DbaPlan.build(ii, jj, N, edge_bucket=E)
     p_ref, d_ref = dba_step(
         poses0, disps0, intr, sens, target, weight, eta,
-        jnp.asarray(plan.ii), jnp.asarray(plan.jj),
-        jnp.asarray(plan.edge_mask), jnp.asarray(plan.rows_of_frame),
+        *plan.jax_arrays(),
         jnp.int32(1), jnp.int32(N), P=N - 1, iters=2,
     )
 
