@@ -4,12 +4,13 @@ from lgu_slam_tpu.utils.runtime import setup_runtime
 setup_runtime()
 import jax, jax.numpy as jnp
 from lgu_slam_tpu import lie
-from lgu_slam_tpu.slam.factor_graph import (
-    FactorGraph, _build_pyramids, _update_op, _update_loop, _build_and_update_loop)
+from lgu_slam_tpu.slam.factor_graph import FactorGraph
 from lgu_slam_tpu.slam.state import Video
 from lgu_slam_tpu.slam.system import init_params
 from lgu_slam_tpu.utils.config import SLAMConfig
-from lgu_slam_tpu.geom.dba import DbaPlan, dba_step
+from lgu_slam_tpu.models.net import LGUNet
+from lgu_slam_tpu.geom.projective import coords_grid, projective_transform
+from functools import partial
 
 cfg = SLAMConfig()
 rng = np.random.default_rng(0)
@@ -34,34 +35,41 @@ for i in range(T-8, T):
         if len(ii_l) < cfg.max_factors//2:
             ii_l.append(i); jj_l.append(j)
 graph.add_factors(np.asarray(ii_l+jj_l, np.int32), np.asarray(jj_l+ii_l, np.int32))
+graph._ensure_pyramid()
+pyr = graph.pyramid
+ii, jj, mask = graph._edge_arrays()
+frame_ids, edge_slot, F = graph._frame_slots(cfg.frame_bucket)
 
 def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
-def timeit(name, fn, reps=3):
-    out = fn(); sync(out)
+def timeit(name, f, *args, reps=3):
+    out = f(*args); sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
+        out = f(*args)
     sync(out)
     print(f"{name}: {(time.perf_counter()-t0)/reps*1e3:.1f} ms", flush=True)
 
-ii, jj, mask = graph._edge_arrays()
-stereo_c = jnp.zeros(graph.E, jnp.int32)
+@partial(jax.jit, static_argnames=("net_def",))
+def do_lookup(net_def, params, pyr, coords1):
+    return net_def.apply({"params": params}, pyr, coords1, method=LGUNet.lookup)
 
-timeit("build_pyramids", lambda: _build_pyramids(net, params, video.state.fmaps, ii, jj, stereo_c))
-graph._ensure_pyramid()
-pyr = graph.pyramid
-frame_ids, edge_slot, F = graph._frame_slots(cfg.frame_bucket)
-timeit("update_op (lookup+GRU+heads)", lambda: _update_op(net, params, video.state, pyr, graph.net, ii, jj, graph.target, mask, edge_slot, F))
+@partial(jax.jit, static_argnames=("net_def", "ns"))
+def do_update(net_def, params, netbuf, inp, corr, motn, edge_slot, mask, ns):
+    return net_def.apply({"params": params}, netbuf[None], inp[None], corr[None], motn[None], edge_slot, ns, mask, method=LGUNet.update_step)
 
-E_dba = graph.E + graph.EI
-dba_ii = np.zeros(E_dba, np.int32); dba_jj = np.zeros(E_dba, np.int32); dba_m = np.zeros(E_dba, np.float32)
-ne = graph.n_edges
-dba_ii[:ne] = graph.ii; dba_jj[:ne] = graph.jj; dba_m[:ne] = 1.0
-plan = DbaPlan.build_masked(dba_ii, dba_jj, dba_m, cfg.buffer, dmax_bucket=graph._dmax, frame_bucket=graph._kbucket)
-pa = plan.jax_arrays()
-tgt = jnp.zeros((E_dba, h, w, 2)); wgt = jnp.zeros((E_dba, h, w, 2))
-eta = jnp.full((N, h, w), 1e-4)
-s = video.state
-timeit("dba_step (2 GN)", lambda: dba_step(s.poses, s.disps, s.intrinsics[0], s.disps_sens, tgt, wgt, eta, *pa, jnp.int32(17), jnp.int32(24), P=cfg.pose_bucket, iters=2))
+@partial(jax.jit, static_argnames=())
+def reproject(poses, disps, intr, ii, jj):
+    c1, _ = projective_transform(poses, disps, intr, ii, jj)
+    return c1
+
+coords1 = reproject(video.state.poses, video.state.disps, video.state.intrinsics, ii, jj)
+corr = do_lookup(net, params, pyr, coords1)
+coords0 = coords_grid(h, w)
+motn = jnp.clip(jnp.concatenate([coords1 - coords0, graph.target - coords1], -1), -64., 64.)
+inp = video.state.inps[ii].astype(jnp.float32)
+
+timeit("reproject", reproject, video.state.poses, video.state.disps, video.state.intrinsics, ii, jj)
+timeit("lookup (4-level defcorr)", do_lookup, net, params, pyr, coords1)
+timeit("update_step (convs+KAN-GRU+GraphAgg)", do_update, net, params, graph.net, inp, corr, motn, edge_slot, mask, F)
