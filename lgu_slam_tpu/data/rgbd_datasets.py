@@ -48,34 +48,50 @@ class CameraParams:
 # configs (configs/data/{TUM/*.yaml, replica.yaml, scannet.yaml}) and the
 # TUM benchmark's published calibrations.
 KNOWN_CAMERAS = {
+    # TUM yaml configs declare crop_edge=8 (configs/data/TUM/*.yaml); the
+    # reference parses it (basedataset.py:166-168) but never applies it —
+    # here the crop is applied (SplaTAM order: resize, then crop) so the
+    # distorted 8px border never reaches mapping/eval.
     "tum_freiburg1": CameraParams(517.3, 516.5, 318.6, 255.3, 480, 640,
-                                  5000.0),
+                                  5000.0, crop_edge=8),
     "tum_freiburg2": CameraParams(520.9, 521.0, 325.1, 249.7, 480, 640,
-                                  5000.0),
+                                  5000.0, crop_edge=8),
     "tum_freiburg3": CameraParams(535.4, 539.2, 320.1, 247.6, 480, 640,
-                                  5000.0),
+                                  5000.0, crop_edge=8),
     "replica": CameraParams(600.0, 600.0, 599.5, 339.5, 680, 1200, 6553.5),
     "icl": CameraParams(481.2, -480.0, 319.5, 239.5, 480, 640, 5000.0),
-    "scannet": CameraParams(577.59, 578.73, 318.9, 242.7, 480, 640, 1000.0),
+    # reference configs/data/scannet.yaml (full-res color)
+    "scannet": CameraParams(1169.621094, 1167.105103, 646.295044,
+                            489.927032, 968, 1296, 1000.0),
+    # 640x480 depth-registered ScanNet export (common preprocessed layout)
+    "scannet_640": CameraParams(577.59, 578.73, 318.9, 242.7, 480, 640,
+                                1000.0),
+    # Azure Kinect NFOV-unbinned depth-registered export; Record3D /
+    # RealSense exports carry their own intrinsics files when present —
+    # these are fallbacks only.
+    "azure": CameraParams(602.0, 602.0, 320.0, 240.0, 480, 640, 1000.0),
 }
 
 
 def _resize_frame(im_rgb, depth, cam: CameraParams, desired):
-    """Resize + intrinsics rescale (basedataset's height/width downscale)."""
-    if cam.crop_edge:
-        c = cam.crop_edge
-        im_rgb = im_rgb[c:-c, c:-c]
-        depth = depth[c:-c, c:-c]
+    """Resize + intrinsics rescale, then edge crop (SplaTAM order:
+    basedataset resizes to the configured size and the crop_edge border is
+    removed afterwards, shrinking the output by 2*crop_edge per axis and
+    shifting cx/cy by crop_edge)."""
     h0, w0 = im_rgb.shape[:2]
     H, W = desired
     im = cv2.resize(im_rgb, (W, H)).astype(np.float32)
     d = cv2.resize(depth, (W, H), interpolation=cv2.INTER_NEAREST)
     sy, sx = H / h0, W / w0
-    intr = np.asarray(
-        [cam.fx * sx, cam.fy * sy,
-         (cam.cx - cam.crop_edge) * sx, (cam.cy - cam.crop_edge) * sy],
-        np.float32,
-    )
+    fx, fy = cam.fx * sx, cam.fy * sy
+    cx, cy = cam.cx * sx, cam.cy * sy
+    if cam.crop_edge:
+        c = cam.crop_edge
+        im = im[c:-c, c:-c]
+        d = d[c:-c, c:-c]
+        cx -= c
+        cy -= c
+    intr = np.asarray([fx, fy, cx, cy], np.float32)
     return im, d, intr
 
 
@@ -269,7 +285,7 @@ class Azure(RGBDFolderDataset):
     depth/*.png, optional poses_global_dvo.txt (one flat 4x4 per line)."""
 
     def _default_camera(self):
-        return KNOWN_CAMERAS["scannet"]
+        return KNOWN_CAMERAS["azure"]
 
     def _discover(self):
         root = self.input_folder
@@ -287,10 +303,11 @@ class Azure(RGBDFolderDataset):
 
 class Record3D(RGBDFolderDataset):
     """Record3D export (gradslam_datasets/record3d.py): rgb/*.png +
-    depth/*.png + poses/*.npy (4x4 c2w each)."""
+    depth/*.png + poses/*.npy (4x4 OpenGL c2w each, conjugated by
+    P=diag(1,-1,-1,1): record3d.py:65)."""
 
     def _default_camera(self):
-        return KNOWN_CAMERAS["scannet"]
+        return KNOWN_CAMERAS["azure"]
 
     def _discover(self):
         root = self.input_folder
@@ -300,7 +317,8 @@ class Record3D(RGBDFolderDataset):
                         key=_natkey)
         pose_files = sorted(glob.glob(os.path.join(root, "poses", "*.npy")),
                             key=_natkey)
-        poses = [np.load(p).reshape(4, 4) for p in pose_files] or None
+        poses = [_gl_conjugate(np.load(p).reshape(4, 4))
+                 for p in pose_files] or None
         return colors, depths, poses
 
 
@@ -316,14 +334,29 @@ class RealSense(Record3D):
                         key=_natkey)
         pose_files = sorted(glob.glob(os.path.join(root, "poses", "*.npy")),
                             key=_natkey)
-        poses = [np.load(p).reshape(4, 4) for p in pose_files] or None
+        poses = [_gl_conjugate(np.load(p).reshape(4, 4))
+                 for p in pose_files] or None
         return colors, depths, poses
+
+
+_GL_P = np.diag([1.0, -1.0, -1.0, 1.0])
+
+
+def _gl_conjugate(c2w):
+    """OpenGL camera-to-world -> OpenCV convention in *both* frames:
+    ``P @ c2w @ P`` with P = diag(1,-1,-1,1) (reference
+    gradslam_datasets/{nerfcapture,scannetpp,record3d,realsense}.py —
+    ``P @ c2w @ P.T``; P is symmetric)."""
+    return _GL_P @ c2w @ _GL_P
 
 
 class NeRFCapture(RGBDFolderDataset):
     """NeRFCapture / iPhone export (gradslam_datasets/nerfcapture.py):
     rgb/ + depth/ folders plus a transforms.json carrying intrinsics and
-    per-frame ``transform_matrix`` c2w poses (OpenGL axes -> flip y,z)."""
+    per-frame ``transform_matrix`` c2w poses.  OpenGL c2w matrices are
+    conjugated by P = diag(1,-1,-1,1) — ``P @ c2w @ P`` — flipping both the
+    camera axes *and* the world frame to OpenCV convention, matching the
+    reference world frame exactly (nerfcapture.py:98)."""
 
     def __init__(self, basedir, sequence="", **kw):
         meta_path = os.path.join(basedir, sequence, "transforms.json")
@@ -344,7 +377,6 @@ class NeRFCapture(RGBDFolderDataset):
             for fr in self.meta["frames"]
         }
         names = sorted(os.listdir(os.path.join(root, "rgb")), key=_natkey)
-        flip = np.diag([1.0, -1.0, -1.0, 1.0])  # OpenGL cam -> OpenCV cam
         colors, depths, poses = [], [], []
         for name in names:
             fr = by_name.get(name)
@@ -353,7 +385,7 @@ class NeRFCapture(RGBDFolderDataset):
             colors.append(os.path.join(root, "rgb", name))
             depths.append(os.path.join(
                 root, "depth", os.path.splitext(name)[0] + ".png"))
-            poses.append(np.asarray(fr["transform_matrix"]) @ flip)
+            poses.append(_gl_conjugate(np.asarray(fr["transform_matrix"])))
         return colors, depths, poses
 
 
@@ -378,7 +410,6 @@ class ScanNetPP(RGBDFolderDataset):
 
     def _discover(self):
         base = os.path.join(self.input_folder, "dslr")
-        flip = np.diag([1.0, -1.0, -1.0, 1.0])
         colors, depths, poses = [], [], []
         for fr in self.meta["frames"]:
             name = os.path.basename(fr["file_path"])
@@ -386,7 +417,7 @@ class ScanNetPP(RGBDFolderDataset):
                 os.path.join(base, "undistorted_images", name))
             depths.append(os.path.join(
                 base, "render_depth", os.path.splitext(name)[0] + ".png"))
-            poses.append(np.asarray(fr["transform_matrix"]) @ flip)
+            poses.append(_gl_conjugate(np.asarray(fr["transform_matrix"])))
         return colors, depths, poses
 
 
