@@ -1,0 +1,324 @@
+"""Cross-framework numerical parity against the reference torch modules.
+
+Instantiates the reference's pure-Python modules (BasicEncoder,
+KANLinear, KAN_bias_GRU, GaussianMask heads, UpdateModule, cvx_upsample;
+/root/reference/droid_slam/modules/*.py, droid_net.py,
+gaussianMask_cuda.py:35-76) with random weights on CPU, converts the state
+dict through ``convert_torch_checkpoint``, and asserts the JAX modules
+reproduce the torch outputs to fp32 tolerance.  This is the end-to-end
+proof that reference checkpoints load correctly (SURVEY.md §7.2 step 3).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ref_torch import import_reference  # noqa: E402
+
+from lgu_slam_tpu.utils.checkpoint import convert_torch_checkpoint  # noqa: E402
+
+ref = import_reference()
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def to_nhwc(x):
+    return np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+def to_nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+@pytest.fixture(scope="module")
+def tg():
+    g = torch.Generator().manual_seed(7)
+    return g
+
+
+def _randn(g, *shape):
+    return torch.randn(*shape, generator=g)
+
+
+# ---------------------------------------------------------------------------
+# KANLinear
+# ---------------------------------------------------------------------------
+
+
+def test_kan_linear_parity(tg):
+    from lgu_slam_tpu.models.kan import KANLinear
+    from lgu_slam_tpu.utils.checkpoint import _kan
+
+    tk = ref.kan.KANLinear(128, 128, grid_size=3)
+    with torch.no_grad():
+        for p in tk.parameters():
+            p.copy_(_randn(tg, *p.shape) * 0.3)
+
+    x = _randn(tg, 4, 128) * 1.5  # probes inside and outside the grid range
+    with torch.no_grad():
+        y_ref = tk(x).numpy()
+
+    params = _kan({("k." + k): v.numpy() for k, v in tk.state_dict().items()},
+                  "k.")
+    jk = KANLinear(128, 128, grid_size=3)
+    y = np.asarray(jk.apply({"params": params}, np.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# KAN-bias ConvGRU
+# ---------------------------------------------------------------------------
+
+
+def test_kan_bias_gru_parity(tg):
+    from lgu_slam_tpu.models.gru import KanBiasConvGRU
+
+    tm = ref.gru.KAN_bias_GRU(128, 128 + 128 + 64)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(_randn(tg, *p.shape) * 0.1)
+
+    net = _randn(tg, 2, 128, 12, 16)
+    a = _randn(tg, 2, 128, 12, 16)
+    b = _randn(tg, 2, 128, 12, 16)
+    c = _randn(tg, 2, 64, 12, 16)
+    with torch.no_grad():
+        y_ref = tm(net, a, b, c).numpy()
+
+    sd = {("update.gru." + k): v.numpy() for k, v in tm.state_dict().items()}
+    from lgu_slam_tpu.utils.checkpoint import _conv, _kan
+
+    params = {
+        "convz": _conv(sd["update.gru.convz.weight"], sd["update.gru.convz.bias"]),
+        "convr": _conv(sd["update.gru.convr.weight"], sd["update.gru.convr.bias"]),
+        "convq": _conv(sd["update.gru.convq.weight"], sd["update.gru.convq.bias"]),
+        "w": _conv(sd["update.gru.w.weight"], sd["update.gru.w.bias"]),
+        "kanz_glo": _kan(sd, "update.gru.kanz_glo."),
+        "kanr_glo": _kan(sd, "update.gru.kanr_glo."),
+        "kanq_glo": _kan(sd, "update.gru.kanq_glo."),
+    }
+    jm = KanBiasConvGRU(128, 320)
+    y = jm.apply(
+        {"params": params}, to_nhwc(net), to_nhwc(a), to_nhwc(b), to_nhwc(c)
+    )
+    np.testing.assert_allclose(to_nchw(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BasicEncoder (instance + none norms)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("norm", ["instance", "none"])
+def test_basic_encoder_parity(tg, norm):
+    from lgu_slam_tpu.models.extractor import BasicEncoder
+    from lgu_slam_tpu.utils.checkpoint import _encoder
+
+    out_dim = 128 if norm == "instance" else 256
+    tm = ref.extractor.BasicEncoder(output_dim=out_dim, norm_fn=norm)
+    tm.eval()
+
+    x = _randn(tg, 1, 2, 3, 64, 96)  # [b, n, c, h, w]
+    with torch.no_grad():
+        y_ref = tm(x).numpy()  # [b, n, c, h/8, w/8]
+
+    sd = {("fnet." + k): v.numpy() for k, v in tm.state_dict().items()}
+    params = _encoder(sd, "fnet.")
+    jm = BasicEncoder(out_dim, norm)
+    xin = np.transpose(np.asarray(x).reshape(2, 3, 64, 96), (0, 2, 3, 1))
+    y = np.asarray(jm.apply({"params": params}, xin))
+    y = np.transpose(y, (0, 3, 1, 2)).reshape(y_ref.shape)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# GaussianMask prediction heads (Python part, gaussianMask_cuda.py:35-76)
+# ---------------------------------------------------------------------------
+
+
+def test_gaussian_mask_heads_parity(tg):
+    from lgu_slam_tpu.models.gaussian_mask import GaussianMask
+
+    h, w = 12, 16
+    tm = ref.gaussian_mask.GaussianMask(h, w)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(_randn(tg, *p.shape) * 0.2)
+
+    x = _randn(tg, 3, h, w, 256)
+    with torch.no_grad():
+        tt = tm.mapA(x)
+        mean_ofs = tm.meanMap(tt).view(3, h * w, 2)
+        c = tm.covMap(tt).view(3, h * w, 2)
+        c = ref.gaussian_mask.per_Corr_Normalization(c, [1, 2])
+        c = torch.sigmoid(c) * 5 + 0.05
+        det_ref = (c[:, :, 0] * c[:, :, 1]).numpy().reshape(3, h, w)
+        cov_ref = c.view(3, h, w, 2).numpy()
+        mean_ref = (
+            tm.coord.view(1, h, w, 2) + mean_ofs.view(3, h, w, 2)
+        ).numpy()
+
+    from lgu_slam_tpu.utils.checkpoint import _dense
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {
+        "map": _dense(sd["map.weight"], sd["map.bias"]),
+        "meanMap": _dense(sd["meanMap.weight"], sd["meanMap.bias"]),
+        "covMap": _dense(sd["covMap.weight"], sd["covMap.bias"]),
+    }
+    jm = GaussianMask()
+    mean, cov, det = jm.apply(
+        {"params": params}, np.asarray(x), method=GaussianMask.predict
+    )
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov), cov_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(det), det_ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# UpdateModule (incl. GraphAgg via stub scatter_mean)
+# ---------------------------------------------------------------------------
+
+
+def test_update_module_parity(tg):
+    from lgu_slam_tpu.models.update import UpdateModule
+
+    tm = ref.droid_net.UpdateModule()
+    tm.eval()
+
+    b, e, h, w = 1, 6, 12, 16
+    net = _randn(tg, b, e, 128, h, w) * 0.5
+    inp = _randn(tg, b, e, 128, h, w) * 0.5
+    corr = _randn(tg, b, e, 196, h, w) * 0.5
+    flow = _randn(tg, b, e, 4, h, w) * 0.5
+    ii_np = np.array([0, 0, 1, 1, 2, 3], np.int64)
+    ii = torch.from_numpy(ii_np)
+
+    with torch.no_grad():
+        net_r, delta_r, weight_r, eta_r, upmask_r = tm(
+            net, inp, corr, flow, ii, ii
+        )
+
+    sd = {("update." + k): v.numpy() for k, v in tm.state_dict().items()}
+    full = convert_torch_checkpoint(sd | _full_droidnet_extras())
+    params = full["update"]
+
+    def nhwc5(x):
+        return np.transpose(np.asarray(x), (0, 1, 3, 4, 2))
+
+    jm = UpdateModule()
+    num_frames = 4
+    edge_slot = ii_np.astype(np.int32)  # frames already compact 0..3
+    net_j, delta_j, weight_j, eta_j, upmask_j, fmask = jm.apply(
+        {"params": params},
+        nhwc5(net), nhwc5(inp), nhwc5(corr), nhwc5(flow),
+        edge_slot, num_frames, np.ones(e, np.float32),
+    )
+
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(net_j), (0, 1, 4, 2, 3)),
+        net_r.numpy(), rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(delta_j), delta_r.numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(weight_j), weight_r.numpy(), rtol=1e-3, atol=1e-4
+    )
+    # eta: reference returns [b, F, h, w] over unique(ii); ours over slots
+    np.testing.assert_allclose(
+        np.asarray(eta_j), eta_r.numpy(), rtol=1e-3, atol=1e-5
+    )
+    # upmask: reference [b, F, 576, h, w]
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(upmask_j), (0, 1, 4, 2, 3)),
+        upmask_r.numpy(), rtol=1e-3, atol=1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# cvx_upsample
+# ---------------------------------------------------------------------------
+
+
+def test_cvx_upsample_parity(tg):
+    from lgu_slam_tpu.models.update import cvx_upsample
+
+    b, h, w, d = 2, 6, 8, 2
+    data = _randn(tg, b, h, w, d)
+    mask = _randn(tg, b, 9 * 8 * 8, h, w)
+
+    with torch.no_grad():
+        y_ref = ref.droid_net.cvx_upsample(data, mask).numpy()
+
+    # reference mask layout: [b, 1, 9, 8, 8, h, w] -> ours [b, h, w, 9*64]
+    m = np.asarray(mask).reshape(b, 9, 8, 8, h, w)
+    m = np.transpose(m, (0, 4, 5, 1, 2, 3)).reshape(b, h, w, 576)
+    y = np.asarray(cvx_upsample(np.asarray(data), m))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full converter round-trip on a real reference DroidNet state dict
+# ---------------------------------------------------------------------------
+
+
+def _full_droidnet_extras():
+    """Minimal extra keys so convert_torch_checkpoint's full-tree walk
+    succeeds when only the update module is under test."""
+    tm = ref.droid_net.DroidNet()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if not k.startswith("update.")}
+    return sd
+
+
+def test_full_converter_round_trip(tg):
+    import jax
+
+    from lgu_slam_tpu.models.net import LGUNet
+
+    tm = ref.droid_net.DroidNet()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(_randn(tg, *p.shape) * 0.05)
+    sd = {("module." + k): v.numpy() for k, v in tm.state_dict().items()}
+
+    params = convert_torch_checkpoint(sd)
+
+    # shape-compatibility with a fresh LGUNet init
+    net = LGUNet()
+    rng = jax.random.PRNGKey(0)
+    x = np.zeros((2, 64, 96, 3), np.float32)
+    init = net.init(rng, x, method=LGUNet.features)["params"]
+
+    def shapes(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(shapes(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = tuple(np.shape(v))
+        return out
+
+    conv_shapes = shapes(params)
+    init_shapes = shapes({"fnet": init["fnet"]})
+    for k, s in init_shapes.items():
+        assert conv_shapes.get(k) == s, (k, s, conv_shapes.get(k))
+
+    # functional check: converted fnet matches the torch fnet
+    x_t = _randn(tg, 1, 1, 3, 64, 96)
+    with torch.no_grad():
+        y_ref = tm.fnet(x_t).numpy().reshape(128, 8, 12)
+    y = np.asarray(
+        net.apply(
+            {"params": params},
+            np.transpose(np.asarray(x_t).reshape(1, 3, 64, 96), (0, 2, 3, 1)),
+            method=LGUNet.features,
+        )
+    )[0]
+    np.testing.assert_allclose(
+        np.transpose(y, (2, 0, 1)), y_ref, rtol=2e-3, atol=1e-3
+    )
