@@ -143,7 +143,11 @@ def build_corr_pyramid(
     if use_pallas is None:
         from lgu_slam_tpu.ops.pallas_corr import TILE_P  # noqa: PLC0415
 
-        use_pallas = jax.default_backend() == "tpu" and (
+        # honour an active jax.default_device(cpu) override (used to
+        # initialize parameters host-side): Pallas has no CPU lowering
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+        use_pallas = platform == "tpu" and (
             P % TILE_P == 0 or P <= 1500
         )
 
@@ -214,8 +218,8 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     Returns [E, H, W, 196] correlation features.
     """
     from lgu_slam_tpu.ops.sampler import (  # noqa: PLC0415
-        corr_index_flat,
-        defcorr_index_flat,
+        corr_index_patch_flat,
+        defcorr_index_patch_flat,
     )
 
     E, H, W, _ = coords.shape
@@ -225,7 +229,7 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
 
     # level-1 variance gate of the deformable offsets (corr.py:94-99)
     h1, w1 = dims[1]
-    probe = corr_index_flat(
+    probe = corr_index_patch_flat(
         pyr.levels[1], h1, w1, cflat / 2.0, 1
     )  # [E, P1, 9]
     var = jnp.var(probe, axis=-1, ddof=1)  # torch.var is unbiased
@@ -234,16 +238,20 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     rd = 2 * RADIUS + 1
     off0 = pyr.offsets[0].reshape(E, P1, rd, rd, 2)
     off1 = pyr.offsets[1].reshape(E, P1, rd, rd, 2)
-    zeros = jnp.zeros_like(off0)
-    offs = (off0, off1 * gate, zeros, zeros)
+    offs = (off0, off1 * gate)
 
     out = []
     for i in range(NUM_LEVELS):
         hh, ww = dims[i]
-        c = defcorr_index_flat(
-            pyr.levels[i], hh, ww, cflat / (2.0 ** i), offs[i], RADIUS
-        )  # [E, P1, 49]
-        out.append(c)
+        if i < 2:  # learned offsets (bounded by tanh x4)
+            c = defcorr_index_patch_flat(
+                pyr.levels[i], hh, ww, cflat / (2.0 ** i), offs[i], RADIUS
+            )
+        else:  # levels 2-3: zero offsets -> plain windowed lookup
+            c = corr_index_patch_flat(
+                pyr.levels[i], hh, ww, cflat / (2.0 ** i), RADIUS
+            )
+        out.append(c)  # [E, P1, 49]
     feats = jnp.concatenate(out, axis=-1)  # [E, P1, 196]
     return feats.reshape(E, H, W, 196)
 

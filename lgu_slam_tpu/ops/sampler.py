@@ -103,6 +103,132 @@ def _sample_taps(volume: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     return out.reshape(B, H1, W1, K)
 
 
+def sample_taps_patch_flat(
+    vol_flat: jnp.ndarray,
+    H2: int,
+    W2: int,
+    base: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    R: int,
+    acc_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bilinear tap sampling via bounded-patch extraction (TPU fast path).
+
+    Mathematically identical to :func:`sample_taps_flat` whenever every
+    tap position lies within ``[floor(base) - R, floor(base) + R + 1)``
+    per axis (guaranteed by construction for windowed lookups: R =
+    window_radius + max_learned_offset).  Instead of per-element gathers
+    — which XLA lowers to a catastrophic scalar loop on TPU (~2.5 s per
+    frontend lookup measured on v5e) — this:
+
+    1. extracts an ``A x A`` patch (A = 2R + 2) around ``floor(base)``
+       with two one-hot contractions (MXU matmuls; out-of-range rows/
+       cols produce all-zero one-hots = the reference's zero padding);
+    2. evaluates each tap as a separable bilinear *tent* contraction
+       within the patch: ``out[k] = ky[k] . patch . kx[k]`` where
+       ``ky/kx`` are 2-hot linear-interpolation weights;
+    3. zeroes taps whose floor corner is out of bounds, matching the
+       CUDA boundary semantics (defCorrSample_kernel.cu:48-52).
+
+    vol_flat: [B, P1, H2*W2]; base: [B, P1, 2] (x, y); px/py: [B, P1, K].
+    Returns [B, P1, K] float32.
+    """
+    B, P1, _ = vol_flat.shape
+    K = px.shape[-1]
+    A = 2 * R + 2
+
+    fx = jnp.floor(base[..., 0]).astype(jnp.int32)  # [B, P1]
+    fy = jnp.floor(base[..., 1]).astype(jnp.int32)
+
+    # --- 1) patch extraction: rows then cols (one-hot matmuls) ---
+    ar = jnp.arange(A, dtype=jnp.int32)
+    rows_idx = fy[..., None] + (ar - R)  # [B, P1, A]
+    cols_idx = fx[..., None] + (ar - R)
+    oy = (rows_idx[..., None] == jnp.arange(H2, dtype=jnp.int32)).astype(
+        acc_dtype
+    )  # [B, P1, A, H2]
+    ox = (cols_idx[..., None] == jnp.arange(W2, dtype=jnp.int32)).astype(
+        acc_dtype
+    )  # [B, P1, A, W2]
+
+    vol4 = vol_flat.reshape(B, P1, H2, W2).astype(acc_dtype)
+    rows = jnp.einsum(
+        "epah,ephw->epaw", oy, vol4, preferred_element_type=jnp.float32
+    ).astype(acc_dtype)  # [B, P1, A, W2]
+    patch = jnp.einsum(
+        "epbw,epaw->epab", ox, rows, preferred_element_type=jnp.float32
+    ).astype(acc_dtype)  # [B, P1, A(y), A(x)]
+
+    # --- 2) separable bilinear tents inside the patch ---
+    ty = py - (fy[..., None] - R).astype(py.dtype)  # [B, P1, K] in [0, A-1)
+    tx = px - (fx[..., None] - R).astype(px.dtype)
+    arf = jnp.arange(A, dtype=jnp.float32)
+    ky = jnp.maximum(0.0, 1.0 - jnp.abs(ty[..., None] - arf)).astype(
+        acc_dtype
+    )  # [B, P1, K, A]
+    kx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[..., None] - arf)).astype(
+        acc_dtype
+    )
+    tmp = jnp.einsum(
+        "epka,epab->epkb", ky, patch, preferred_element_type=jnp.float32
+    )  # [B, P1, K, A]
+    out = jnp.einsum(
+        "epkb,epkb->epk", kx.astype(jnp.float32), tmp,
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- 3) floor-corner-in-bounds zeroing (exact CUDA semantics) ---
+    x1 = jnp.floor(px)
+    y1 = jnp.floor(py)
+    base_ok = (x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)
+    return jnp.where(base_ok, out, 0.0)
+
+
+def corr_index_patch_flat(vol_flat: jnp.ndarray, H2: int, W2: int,
+                          coords: jnp.ndarray, radius: int,
+                          acc_dtype=jnp.float32) -> jnp.ndarray:
+    """Plain windowed lookup via the patch fast path (R = radius)."""
+    dx, dy = _window_taps(radius)
+    px = coords[..., 0:1] + dx
+    py = coords[..., 1:2] + dy
+    return sample_taps_patch_flat(
+        vol_flat, H2, W2, coords, px, py, radius, acc_dtype=acc_dtype
+    )
+
+
+def defcorr_index_patch_flat(
+    vol_flat: jnp.ndarray,
+    H2: int,
+    W2: int,
+    coords: jnp.ndarray,
+    offset: jnp.ndarray,
+    radius: int,
+    max_offset: int = 4,
+    acc_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Deformable lookup via the patch fast path.
+
+    ``max_offset`` bounds |learned offset| per axis (the offset heads are
+    tanh-normalized x4, modules/corr.py:127-129), so R = radius +
+    max_offset covers every tap.  Offsets are clipped to the bound as a
+    safety net (a no-op for tanh x4; keeps the patch guarantee exact).
+    """
+    rd = 2 * radius + 1
+    center = jnp.zeros((rd, rd, 1), offset.dtype).at[radius, radius, 0].set(1.0)
+    offset = offset - center * jax.lax.stop_gradient(offset)
+    offset = jnp.clip(offset, -max_offset, max_offset)
+
+    dx, dy = _window_taps(radius)
+    off = offset.reshape(offset.shape[:2] + (rd * rd, 2))
+    px = coords[..., 0:1] + off[..., 0] + dx
+    py = coords[..., 1:2] + off[..., 1] + dy
+    return sample_taps_patch_flat(
+        vol_flat, H2, W2, coords, px, py, radius + max_offset,
+        acc_dtype=acc_dtype,
+    )
+
+
 def corr_index_flat(vol_flat: jnp.ndarray, H2: int, W2: int,
                     coords: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Plain lookup on a flat volume: vol [B, P1, H2*W2],

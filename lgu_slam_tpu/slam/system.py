@@ -18,21 +18,33 @@ from lgu_slam_tpu.utils.config import SLAMConfig
 
 
 def init_params(cfg: SLAMConfig, seed: int = 0):
-    """Random-initialized LGUNet parameters shaped for this config."""
+    """Random-initialized LGUNet parameters shaped for this config.
+
+    Every parameter is a conv/linear whose shape is independent of the
+    image size, so the init forward runs **on the host CPU at a tiny
+    image size** — running it on the accelerator at full resolution cost
+    ~170 s of tunnel round-trips (dozens of tiny RNG compiles) and was
+    the round-2 bench-timeout culprit.  The finished pytree is then
+    placed on the default device once.
+    """
     net = LGUNet()
-    H, W = cfg.image_size
-    images = jnp.zeros((1, 2, H, W, 3), jnp.float32)
-    ii = jnp.asarray([0, 1])
-    jj = jnp.asarray([1, 0])
-    Gs = jnp.broadcast_to(lie.se3_identity(), (1, 2, 7))
-    disps = jnp.ones((1, 2, H // 8, W // 8), jnp.float32)
-    intr = jnp.broadcast_to(
-        jnp.asarray([W / 2.0, W / 2.0, W / 16.0, H / 16.0]), (1, 2, 4)
-    )
-    variables = net.init(
-        jax.random.PRNGKey(seed), Gs, images, disps, intr, ii, jj, 1, 1
-    )
-    return net, variables["params"]
+    H, W = 64, 96  # init-only; param shapes don't depend on H, W
+    with jax.default_device(jax.devices("cpu")[0]):
+        images = jnp.zeros((1, 2, H, W, 3), jnp.float32)
+        ii = jnp.asarray([0, 1])
+        jj = jnp.asarray([1, 0])
+        Gs = jnp.broadcast_to(lie.se3_identity(), (1, 2, 7))
+        disps = jnp.ones((1, 2, H // 8, W // 8), jnp.float32)
+        intr = jnp.broadcast_to(
+            jnp.asarray([W / 2.0, W / 2.0, W / 16.0, H / 16.0]), (1, 2, 4)
+        )
+        variables = net.init(
+            jax.random.PRNGKey(seed), Gs, images, disps, intr, ii, jj, 1, 1
+        )
+    params = variables["params"]
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params, jax.devices()[0])
+    return net, params
 
 
 class LGUSlam:

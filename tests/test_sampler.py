@@ -180,3 +180,50 @@ def test_alt_corr_matches_volume_path(rng):
         radius=r,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_patch_sampler_matches_gather(rng):
+    """Patch fast path (one-hot extraction + separable tents) == the
+    gather-formulation oracle, including boundary zeroing and gradients."""
+    import jax
+
+    from lgu_slam_tpu.ops.sampler import (
+        corr_index_flat,
+        corr_index_patch_flat,
+        defcorr_index_flat,
+        defcorr_index_patch_flat,
+    )
+
+    B, H2, W2, P1, r = 3, 12, 16, 20, 3
+    vol = jnp.asarray(rng.normal(size=(B, P1, H2 * W2)), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(-3, 1, size=(B, P1, 2)) * np.asarray([W2, H2]),
+        jnp.float32,
+    )
+    a = corr_index_flat(vol, H2, W2, coords, r)
+    b = corr_index_patch_flat(vol, H2, W2, coords, r)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # integer coords hit the tent kinks exactly
+    ci = jnp.floor(coords)
+    a = corr_index_flat(vol, H2, W2, ci, r)
+    b = corr_index_patch_flat(vol, H2, W2, ci, r)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    off = jnp.asarray(rng.uniform(-4, 4, size=(B, P1, 7, 7, 2)), jnp.float32)
+    a = defcorr_index_flat(vol, H2, W2, coords, off, r)
+    b = defcorr_index_patch_flat(vol, H2, W2, coords, off, r)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    g1 = jax.grad(
+        lambda c, o: jnp.sum(defcorr_index_flat(vol, H2, W2, c, o, r) ** 2),
+        argnums=(0, 1),
+    )(coords, off)
+    g2 = jax.grad(
+        lambda c, o: jnp.sum(
+            defcorr_index_patch_flat(vol, H2, W2, c, o, r) ** 2
+        ),
+        argnums=(0, 1),
+    )(coords, off)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
