@@ -151,11 +151,12 @@ class DbaPlan:
         return DbaPlan(ii, jj, mask, kf_ids, kf_mask, edge_slot, rof)
 
 
-def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj, edge_mask):
-    """Per-edge Hessian/E/C/w blocks (projective_transform_kernel parity).
-
-    Returns He [E,12,12], ve [E,12], Eii/Eij [E,6,HW], Cii/bz [E,HW].
-    """
+def _build_linear_system_ref(poses, disps, intrinsics, target, weight, ii,
+                             jj, edge_mask):
+    """Reference formulation via the generic Jacobian API (kept as the
+    test oracle for :func:`_build_linear_system`; materializes
+    ``[E, H, W, 2, 6]`` tensors whose tiny trailing dims are tiled
+    catastrophically on TPU)."""
     E = ii.shape[0]
     ht, wd = disps.shape[-2:]
     HW = ht * wd
@@ -164,9 +165,6 @@ def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj, edge_
         poses, disps, intrinsics, ii, jj, jacobian=True
     )
     r = target - coords  # [E,H,W,2]
-    # depth weight keeps stereo edges; pose weight drops them
-    # (droid_kernels.cu:320-326 — Cii/bz are computed before the stereo
-    # zeroing of wu)
     w_d = WEIGHT_SCALE * weight * valid * edge_mask[:, None, None, None]
     w_p = w_d * (ii != jj).astype(w_d.dtype)[:, None, None, None]
 
@@ -181,6 +179,127 @@ def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj, edge_
     Eij = jnp.einsum("ehwc,ehwca->eahw", wJz_p, Jj).reshape(E, 6, HW)
     Cii = jnp.sum(w_d * Jz0 * Jz0, axis=-1).reshape(E, HW)
     bz = jnp.sum(w_d * r * Jz0, axis=-1).reshape(E, HW)
+    return He, ve, Eii, Eij, Cii, bz
+
+
+def _build_linear_system(poses, disps, intrinsics, target, weight, ii, jj,
+                         edge_mask):
+    """Per-edge Hessian/E/C/w blocks (projective_transform_kernel parity,
+    droid_kernels.cu:176-424).
+
+    TPU slab formulation: every per-pixel quantity is an ``[E, HW]`` array
+    (pixels in the lane dimension) and the 2x6 Jacobians are built as 24
+    such slabs stacked along a small leading axis — the generic
+    ``[E, H, W, 2, 6]`` layout puts (2, 6) in the tiled trailing dims and
+    measured 31 ms per call on v5e; this form is pure elementwise VPU work
+    plus two ``[12, HW] x [HW, 12]`` MXU contractions.
+
+    Returns He [E,12,12], ve [E,12], Eii/Eij [E,6,HW], Cii/bz [E,HW].
+    """
+    from lgu_slam_tpu.lie import se3_rel, so3_matrix  # noqa: PLC0415
+
+    E = ii.shape[0]
+    ht, wd = disps.shape[-2:]
+    HW = ht * wd
+    f32 = disps.dtype
+
+    Gij = se3_rel(poses[ii], poses[jj])  # [E, 7]
+    stereo = (ii == jj)[:, None]
+    Gij = jnp.where(stereo, jnp.asarray(pops.STEREO_TIJ, dtype=Gij.dtype), Gij)
+    R = so3_matrix(Gij[:, 3:7])  # [E, 3, 3] (tiny)
+    Rc = [[R[:, m, k][:, None] for k in range(3)] for m in range(3)]
+    tx, ty, tz = (Gij[:, k][:, None] for k in range(3))
+
+    intr_i = intrinsics[ii]
+    intr_j = intrinsics[jj]
+    fxi, fyi, cxi, cyi = (intr_i[:, k][:, None] for k in range(4))
+    fxj, fyj, cxj, cyj = (intr_j[:, k][:, None] for k in range(4))
+
+    grid = pops.coords_grid(ht, wd, dtype=f32).reshape(HW, 2)
+    gx = grid[None, :, 0]
+    gy = grid[None, :, 1]
+
+    d = disps[ii].reshape(E, HW)
+    X0 = (gx - cxi) / fxi  # [E, HW]
+    Y0 = (gy - cyi) / fyi
+
+    X1 = Rc[0][0] * X0 + Rc[0][1] * Y0 + Rc[0][2] + d * tx
+    Y1 = Rc[1][0] * X0 + Rc[1][1] * Y0 + Rc[1][2] + d * ty
+    Z1 = Rc[2][0] * X0 + Rc[2][1] * Y0 + Rc[2][2] + d * tz
+
+    valid = (Z1 > pops.MIN_DEPTH).astype(f32)
+    Zc = jnp.where(Z1 < 0.5 * pops.MIN_DEPTH, 1.0, Z1)
+    dd = 1.0 / Zc
+    x1 = fxj * X1 * dd + cxj
+    y1 = fyj * Y1 * dd + cyj
+
+    a = fxj * dd
+    bq = -fxj * X1 * dd * dd
+    c = fyj * dd
+    e2 = -fyj * Y1 * dd * dd
+
+    # Jj rows (residual u, v) x 6 twist cols (projective_ops.py:79-96)
+    o = jnp.zeros_like(d)
+    Jju = [a * d, o, bq * d, bq * Y1, a * Z1 - bq * X1, -a * Y1]
+    Jjv = [o, c * d, e2 * d, -c * Z1 + e2 * Y1, -e2 * X1, c * X1]
+
+    # Ji = -Ad^T(Gij) Jj, componentwise (lie.se3_adjT_apply expanded):
+    # for Jj row [A; B]: Ji = [-R^T A; -R^T (B - t x A)]
+    def adjT_neg(row):
+        A = row[:3]
+        B = row[3:]
+        # t x A
+        cx_ = ty * A[2] - tz * A[1]
+        cy_ = tz * A[0] - tx * A[2]
+        cz_ = tx * A[1] - ty * A[0]
+        B0 = B[0] - cx_
+        B1 = B[1] - cy_
+        B2 = B[2] - cz_
+        out = []
+        for k in range(3):
+            out.append(-(Rc[0][k] * A[0] + Rc[1][k] * A[1] + Rc[2][k] * A[2]))
+        for k in range(3):
+            out.append(-(Rc[0][k] * B0 + Rc[1][k] * B1 + Rc[2][k] * B2))
+        return out
+
+    Jiu = adjT_neg(Jju)
+    Jiv = adjT_neg(Jjv)
+
+    Jzu = a * tx + bq * tz  # [E, HW]
+    Jzv = c * ty + e2 * tz
+
+    ru = target[..., 0].reshape(E, HW) - x1
+    rv = target[..., 1].reshape(E, HW) - y1
+
+    wdu = WEIGHT_SCALE * weight[..., 0].reshape(E, HW) * valid \
+        * edge_mask[:, None]
+    wdv = WEIGHT_SCALE * weight[..., 1].reshape(E, HW) * valid \
+        * edge_mask[:, None]
+    nonstereo = (ii != jj).astype(f32)[:, None]
+    wpu = wdu * nonstereo
+    wpv = wdv * nonstereo
+
+    Xu = jnp.stack(Jiu + Jju, axis=1)  # [E, 12, HW]
+    Xv = jnp.stack(Jiv + Jjv, axis=1)
+    He = (
+        jnp.einsum("eah,ebh->eab", wpu[:, None, :] * Xu, Xu)
+        + jnp.einsum("eah,ebh->eab", wpv[:, None, :] * Xv, Xv)
+    )
+    ve = (
+        jnp.einsum("eah,eh->ea", Xu, wpu * ru)
+        + jnp.einsum("eah,eh->ea", Xv, wpv * rv)
+    )
+
+    wJzu = wpu * Jzu
+    wJzv = wpv * Jzv
+    Eii = jnp.stack(
+        [wJzu * Jiu[k] + wJzv * Jiv[k] for k in range(6)], axis=1
+    )  # [E, 6, HW]
+    Eij = jnp.stack(
+        [wJzu * Jju[k] + wJzv * Jjv[k] for k in range(6)], axis=1
+    )
+    Cii = wdu * Jzu * Jzu + wdv * Jzv * Jzv
+    bz = wdu * ru * Jzu + wdv * rv * Jzv
     return He, ve, Eii, Eij, Cii, bz
 
 

@@ -122,6 +122,7 @@ def build_corr_pyramid(
     volume_dtype=jnp.float32,
     edge_chunk: int = 8,
     use_pallas: bool | None = None,
+    pack: bool | None = None,
 ) -> CorrPyramid:
     """Full CorrBlock construction (corr.py:53-86).
 
@@ -208,48 +209,120 @@ def build_corr_pyramid(
         levels.append(v)
         h2, w2 = ho, wo
 
+    if pack is None:
+        pack = use_pallas  # inference on TPU; training passes pack=False
+    if pack:
+        # pack levels row-padded [E, P1, S, 128] for the Pallas window
+        # lookup (paid once per pyramid build, amortized over the 8/16
+        # GRU iterations that look it up)
+        from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
+            level_layout, pack_level,
+        )
+
+        packed = []
+        hh, ww = H, W
+        for i, lvl in enumerate(levels):
+            W2p, NS = level_layout(ww, i)
+            packed.append(pack_level(lvl, hh, ww, NS)[0])
+            hh, ww = hh // 2, ww // 2
+        levels = packed
+
     return CorrPyramid(tuple(levels), (off0, off1), mean, 2.0 * det)
 
 
+def _tap_positions(cflat, offset, radius):
+    """Absolute tap positions (px, py) [E, P1, K] from base coords and the
+    (optionally zero) per-tap offsets, reproducing the center-tap zeroing."""
+    rd = 2 * radius + 1
+    dx, dy = _window_deltas(radius)
+    if offset is None:
+        px = cflat[..., 0:1] + dx
+        py = cflat[..., 1:2] + dy
+        return px, py
+    center = jnp.zeros((rd, rd, 1), offset.dtype).at[radius, radius, 0].set(1.0)
+    offset = offset - center * jax.lax.stop_gradient(offset)
+    offset = jnp.clip(offset, -4.0, 4.0)
+    off = offset.reshape(offset.shape[:2] + (rd * rd, 2))
+    px = cflat[..., 0:1] + off[..., 0] + dx
+    py = cflat[..., 1:2] + off[..., 1] + dy
+    return px, py
+
+
+def _window_deltas(radius):
+    rd = 2 * radius + 1
+    di = jnp.arange(rd, dtype=jnp.float32) - radius
+    dx = jnp.repeat(di, rd)  # channel-major i*rd+j, i = x
+    dy = jnp.tile(di, rd)
+    return dx, dy
+
+
 def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
-    """Deformable pyramid lookup (corr.py:88-109) on flat levels.
+    """Deformable pyramid lookup (corr.py:88-109).
 
     coords: [E, H, W, 2] (x, y) at 1/8 resolution.
     Returns [E, H, W, 196] correlation features.
-    """
-    from lgu_slam_tpu.ops.sampler import (  # noqa: PLC0415
-        corr_index_patch_flat,
-        defcorr_index_patch_flat,
-    )
 
+    Two equivalent execution paths selected by the pyramid storage layout:
+    packed 4D levels (built on TPU) run the Pallas window kernel
+    (ops/pallas_lookup.py — dynamic-gather based, forward-only); flat 3D
+    levels (CPU, training) run the differentiable patch formulation
+    (ops/sampler.py).
+    """
     E, H, W, _ = coords.shape
     P1 = H * W
     dims = pyr.level_dims()
     cflat = coords.reshape(E, P1, 2)
+    packed = pyr.levels[0].ndim == 4
+
+    def level_taps(i, offs):
+        return _tap_positions(cflat / (2.0 ** i), offs, RADIUS)
 
     # level-1 variance gate of the deformable offsets (corr.py:94-99)
     h1, w1 = dims[1]
-    probe = corr_index_patch_flat(
-        pyr.levels[1], h1, w1, cflat / 2.0, 1
-    )  # [E, P1, 9]
+    ppx, ppy = _tap_positions(cflat / 2.0, None, 1)
+    if packed:
+        from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
+            pad_w2, pick_ns, window_lookup_packed,
+        )
+
+        probe = window_lookup_packed(
+            pyr.levels[1], ppx, ppy, h1, w1, pad_w2(w1), pick_ns(4, 128 // pad_w2(w1))
+        )
+    else:
+        from lgu_slam_tpu.ops.sampler import sample_taps_patch_flat  # noqa: PLC0415
+
+        probe = sample_taps_patch_flat(
+            pyr.levels[1], h1, w1, cflat / 2.0, ppx, ppy, 1
+        )
     var = jnp.var(probe, axis=-1, ddof=1)  # torch.var is unbiased
     gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E, P1, 1,1,1]
 
     rd = 2 * RADIUS + 1
     off0 = pyr.offsets[0].reshape(E, P1, rd, rd, 2)
     off1 = pyr.offsets[1].reshape(E, P1, rd, rd, 2)
-    offs = (off0, off1 * gate)
+    offs = (off0, off1 * gate, None, None)
 
     out = []
     for i in range(NUM_LEVELS):
         hh, ww = dims[i]
-        if i < 2:  # learned offsets (bounded by tanh x4)
-            c = defcorr_index_patch_flat(
-                pyr.levels[i], hh, ww, cflat / (2.0 ** i), offs[i], RADIUS
+        px, py = level_taps(i, offs[i])
+        if packed:
+            from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
+                level_layout, window_lookup_packed,
             )
-        else:  # levels 2-3: zero offsets -> plain windowed lookup
-            c = corr_index_patch_flat(
-                pyr.levels[i], hh, ww, cflat / (2.0 ** i), RADIUS
+
+            W2p, NS = level_layout(ww, i)
+            c = window_lookup_packed(
+                pyr.levels[i], px, py, hh, ww, W2p, NS
+            )
+        else:
+            from lgu_slam_tpu.ops.sampler import (  # noqa: PLC0415
+                sample_taps_patch_flat,
+            )
+
+            R = RADIUS + (4 if i < 2 else 0)
+            c = sample_taps_patch_flat(
+                pyr.levels[i], hh, ww, cflat / (2.0 ** i), px, py, R
             )
         out.append(c)  # [E, P1, 49]
     feats = jnp.concatenate(out, axis=-1)  # [E, P1, 196]

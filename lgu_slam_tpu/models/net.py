@@ -67,11 +67,14 @@ class LGUNet(nn.Module):
 
     # -- correlation --------------------------------------------------------
 
-    def build_corr(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> CorrPyramid:
-        """fmap1/2: [E, H, W, 128] per-edge features."""
+    def build_corr(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                   pack: bool | None = None) -> CorrPyramid:
+        """fmap1/2: [E, H, W, 128] per-edge features.  ``pack=None`` packs
+        the levels for the Pallas lookup on TPU (inference); the training
+        forward passes ``pack=False`` to keep the differentiable path."""
         return build_corr_pyramid(
             self.ga.predict, self.ofs_map, self.ofs_residual, fmap1, fmap2,
-            volume_dtype=self.volume_dtype,
+            volume_dtype=self.volume_dtype, pack=pack,
         )
 
     def lookup(self, pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +124,7 @@ class LGUNet(nn.Module):
         # per-edge correlation pyramid, batch folded into the edge axis
         f1 = fmaps[:, ii].reshape(B * E, h8, w8, 128)
         f2 = fmaps[:, jj].reshape(B * E, h8, w8, 128)
-        pyr = self.build_corr(f1, f2)
+        pyr = self.build_corr(f1, f2, pack=False)  # differentiable path
         mean_n = pyr.mean.reshape(B, E, h8, w8, 2)
         theta = pyr.theta.reshape(B, E, h8, w8)
 

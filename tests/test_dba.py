@@ -166,3 +166,37 @@ def test_dba_padding_invariance(rng):
         outs.append((np.asarray(p), np.asarray(d)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+
+
+def test_slab_builder_matches_reference_formulation(rng):
+    """The TPU slab-layout linear-system builder == the generic Jacobian
+    formulation (stereo edge + dead edge included)."""
+    from lgu_slam_tpu.geom.dba import (
+        _build_linear_system,
+        _build_linear_system_ref,
+    )
+
+    N, h, w = 10, 6, 8
+    poses = lie.se3_exp(
+        jnp.asarray(np.cumsum(rng.normal(size=(N, 6)) * 0.05, 0), jnp.float32)
+    )
+    disps = jnp.asarray(0.4 + 0.5 * rng.random((N, h, w)), jnp.float32)
+    intr = jnp.broadcast_to(jnp.asarray([10.0, 11.0, 4.0, 3.0]), (N, 4))
+    ii = jnp.asarray([0, 1, 2, 3, 3, 5, 7], jnp.int32)
+    jj = jnp.asarray([1, 0, 3, 2, 3, 6, 5], jnp.int32)  # (3,3) = stereo
+    E = ii.shape[0]
+    target = jnp.asarray(rng.normal(size=(E, h, w, 2)), jnp.float32) * 3 + 4
+    weight = jnp.asarray(rng.random((E, h, w, 2)), jnp.float32)
+    emask = jnp.asarray([1, 1, 1, 1, 1, 1, 0], jnp.float32)
+
+    ref = _build_linear_system_ref(
+        poses, disps, intr, target, weight, ii, jj, emask
+    )
+    out = _build_linear_system(
+        poses, disps, intr, target, weight, ii, jj, emask
+    )
+    for name, x, y in zip(["He", "ve", "Eii", "Eij", "Cii", "bz"], ref, out):
+        scale = max(float(jnp.abs(x).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), atol=2e-5 * scale, err_msg=name
+        )

@@ -51,3 +51,58 @@ def test_masked_corr_kernel_bf16_close(rng):
     err = np.abs(np.asarray(out) - np.asarray(ref))
     rel = err / (np.abs(np.asarray(ref)) + 1.0)
     assert rel.max() < 0.02
+
+
+def test_window_lookup_kernel_matches_oracle(rng):
+    """Pallas window/dense lookup kernels (interpret mode) == the gather
+    oracle across level geometries, including OOB taps."""
+    from lgu_slam_tpu.ops.pallas_lookup import (
+        dense_lookup_packed,
+        pack_level,
+        pad_w2,
+        pick_ns,
+        window_lookup_packed,
+    )
+    from lgu_slam_tpu.ops.sampler import sample_taps_flat
+
+    def check(H2, W2, r, max_off, dense=False, P1=16, E=2):
+        Rh = r + max_off
+        rd = 2 * r + 1
+        K = rd * rd
+        vol = jnp.asarray(rng.normal(size=(E, P1, H2 * W2)), jnp.float32)
+        base = jnp.asarray(
+            rng.uniform(-2, 1.2, size=(E, P1, 2)) * np.asarray([W2, H2]),
+            jnp.float32,
+        )
+        off = jnp.asarray(
+            rng.uniform(-max_off, max_off, size=(E, P1, K, 2)), jnp.float32
+        )
+        d = np.stack(
+            np.meshgrid(np.arange(rd) - r, np.arange(rd) - r, indexing="ij"),
+            -1,
+        ).reshape(K, 2).astype(np.float32)
+        px = base[..., 0:1] + off[..., 0] + d[:, 0]
+        py = base[..., 1:2] + off[..., 1] + d[:, 1]
+        ref = sample_taps_flat(vol, H2, W2, px, py)
+        W2p = pad_w2(W2)
+        NS = pick_ns(2 * Rh + 2, 128 // W2p)
+        vol4, _ = pack_level(vol, H2, W2, NS)
+        if dense:
+            out = dense_lookup_packed(
+                vol4, px, py, H2, W2, W2p, interpret=True, tile_p=8
+            )
+        else:
+            out = window_lookup_packed(
+                vol4, px, py, H2, W2, W2p, NS, interpret=True, tile_p=8
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4,
+            err_msg=f"H2={H2} W2={W2} r={r} off={max_off}",
+        )
+
+    check(48, 64, 3, 4)          # level 0 deformable
+    check(24, 32, 3, 4)          # level 1 deformable
+    check(12, 16, 3, 0)          # level 2 plain
+    check(6, 8, 3, 0, dense=True)  # level 3 dense variant
+    check(24, 32, 1, 0)          # variance probe
+    check(13, 17, 3, 4)          # odd (TUM-like) sizes
