@@ -131,6 +131,13 @@ def main():
     keyframe_step()
     sync()
     assert graph.n_edges == n_edges, "graph starved during warmup"
+    # second warmup rep: after the first update the poses/disps have
+    # moved, so the proximity re-plan can evict+store edges for the first
+    # time, compiling _compact/_store_inactive (cost ~20 s observed when
+    # it landed inside rep 0 of the timed loop)
+    keyframe_step()
+    sync()
+    assert graph.n_edges == n_edges, "graph starved during warmup"
     log("warmup done; timing 20 reps")
 
     reps = 20

@@ -115,38 +115,20 @@ class ShardedDbaPlan:
         return ShardedDbaPlan(ii_s, jj_s, mask_s, rof, owned, perm_s)
 
 
-def dba_step_sharded(
-    mesh: Mesh,
-    axis: str,
-    poses,
-    disps,
-    intrinsics,
-    disps_sens,
-    target,  # [D, Es, H, W, 2]
-    weight,
-    eta,
-    plan_arrays,  # (ii, jj, edge_mask, rows_of_frame, owned) stacked [D, ...]
-    t0,
-    t1,
-    *,
-    P_bucket: int,
-    iters: int = 2,
-    lm: float = 1e-4,
-    ep: float = 0.1,
-    motion_only: bool = False,
-    alpha: float = DEPTH_PRIOR_ALPHA,
-):
-    """Run the distributed DBA under shard_map over ``mesh[axis]``."""
-    ii_s, jj_s, mask_s, rof_s, owned_s = plan_arrays
+def sharded_dba_iters(axis, poses, disps, intrinsics, disps_sens, eta,
+                      t0, t1, target, weight, ii, jj, emask, rof, owned,
+                      *, Pb: int, iters: int = 2, lm: float = 1e-4,
+                      ep: float = 0.1, motion_only: bool = False,
+                      alpha: float = DEPTH_PRIOR_ALPHA):
+    """Per-shard body of the distributed DBA.  Must be called INSIDE a
+    ``shard_map`` over ``axis``; all arrays carry no leading device axis
+    (sharded operands already stripped to their local block).  Reused by
+    both :func:`dba_step_sharded` and the sharded backend pass
+    (:mod:`lgu_slam_tpu.parallel.backend_shard`)."""
     N, ht, wd = disps.shape
     HW = ht * wd
-    Pb = P_bucket
 
-    def shard_fn(poses, disps, intrinsics, disps_sens, eta, t0, t1,
-                 target, weight, ii, jj, emask, rof, owned):
-        # leading device axis of sharded args is 1 inside shard_map
-        target, weight = target[0], weight[0]
-        ii, jj, emask, rof, owned = ii[0], jj[0], emask[0], rof[0], owned[0]
+    if True:  # keep the original body's indentation
         intr_n = jnp.broadcast_to(intrinsics, (N, 4))
 
         frames = jnp.arange(N)
@@ -246,6 +228,42 @@ def dba_step_sharded(
         if not motion_only:
             disps = jnp.maximum(disps, 0.001)
         return poses, disps
+
+
+def dba_step_sharded(
+    mesh: Mesh,
+    axis: str,
+    poses,
+    disps,
+    intrinsics,
+    disps_sens,
+    target,  # [D, Es, H, W, 2]
+    weight,
+    eta,
+    plan_arrays,  # (ii, jj, edge_mask, rows_of_frame, owned) stacked [D, ...]
+    t0,
+    t1,
+    *,
+    P_bucket: int,
+    iters: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    motion_only: bool = False,
+    alpha: float = DEPTH_PRIOR_ALPHA,
+):
+    """Run the distributed DBA under shard_map over ``mesh[axis]``."""
+    ii_s, jj_s, mask_s, rof_s, owned_s = plan_arrays
+    Pb = P_bucket
+
+    def shard_fn(poses, disps, intrinsics, disps_sens, eta, t0, t1,
+                 target, weight, ii, jj, emask, rof, owned):
+        # leading device axis of sharded args is 1 inside shard_map
+        return sharded_dba_iters(
+            axis, poses, disps, intrinsics, disps_sens, eta, t0, t1,
+            target[0], weight[0], ii[0], jj[0], emask[0], rof[0], owned[0],
+            Pb=Pb, iters=iters, lm=lm, ep=ep, motion_only=motion_only,
+            alpha=alpha,
+        )
 
     fn = jax.shard_map(
         shard_fn,

@@ -13,11 +13,16 @@ from lgu_slam_tpu.utils.config import SLAMConfig
 
 
 class Backend:
-    def __init__(self, net_def: LGUNet, params, video: Video, cfg: SLAMConfig):
+    def __init__(self, net_def: LGUNet, params, video: Video, cfg: SLAMConfig,
+                 mesh=None):
+        """``mesh`` (optional jax.sharding.Mesh, >1 device): run every
+        global pass sharded over the keyframe axis
+        (parallel/backend_shard.py)."""
         self.net_def = net_def
         self.params = params
         self.video = video
         self.cfg = cfg
+        self.mesh = mesh
 
     def __call__(self, steps=12):
         """droid_backend.py:26-43."""
@@ -46,6 +51,6 @@ class Backend:
             rad=cfg.backend_radius, nms=cfg.backend_nms,
             thresh=cfg.backend_thresh, beta=cfg.beta,
         )
-        graph.update_lowmem(steps=steps)
+        graph.update_lowmem(steps=steps, mesh=self.mesh)
         graph.clear_edges()
         self.video.dirty[:t] = True

@@ -273,6 +273,112 @@ def _build_and_update_loop(
     return pyr, out
 
 
+def _lowmem_loop_impl(
+    net_def,
+    params,
+    video_state,
+    fmap_pyr,
+    net_ch,     # [C, CH, h, w, 128]  pre-gathered edge buffers
+    target_ch,  # [C, CH, h, w, 2]
+    weight_ch,  # [C, CH, h, w, 2]
+    ii_ch,      # [C, CH] int32
+    jj_ch,
+    ii_rig_ch,
+    jj_rig_ch,
+    mask_ch,    # [C, CH] float32
+    edge_slot_ch,   # [C, CH] int32
+    frame_ids_ch,   # [C, F] int32
+    dba_ii,
+    dba_jj,
+    dba_mask,
+    dba_kf_ids,
+    dba_kf_mask,
+    dba_edge_slot,
+    rows_of_frame,
+    t0,
+    t1,
+    *,
+    num_slots: int,
+    steps: int,
+    P: int,
+    dba_iters: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    EP: float = 1e-7,
+    upsample: bool = False,
+):
+    """``steps`` x {scan over edge chunks of fused-corr GRU updates, then
+    one global DBA} as ONE device program — the backend's update_lowmem
+    (factor_graph.py:255-302) without the ``steps x n_chunks`` host
+    dispatches + per-chunk ``.at[slot].set`` round trips of the unfused
+    formulation (~200 RTTs at t=500/1024 edges/12 steps)."""
+    s0 = video_state
+    disps_up0 = s0.disps_up if upsample else jnp.zeros((0,), jnp.float32)
+    state = (net_ch, target_ch, weight_ch, s0.poses, s0.disps,
+             s0.damping, disps_up0)
+
+    def step_body(_, state):
+        net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = state
+        vs = s0._replace(poses=poses, disps=disps)
+
+        def chunk_body(carry, xs):
+            damping, disps_up = carry
+            net_c, target_c, weight_c, ii_c, jj_c, iir, jjr, m_c, esl, fids \
+                = xs
+            net2, target2, weight2, eta, upmask, slot_mask = _alt_update_op(
+                net_def, params, vs, fmap_pyr, net_c, ii_c, jj_c, iir, jjr,
+                target_c, m_c, esl, num_slots,
+            )
+            live = m_c[:, None, None, None] > 0
+            net2 = jnp.where(live, net2, net_c)
+            target2 = jnp.where(live, target2, target_c)
+            weight2 = jnp.where(live, weight2, weight_c)
+            damping = _update_damping(damping, eta, fids, slot_mask)
+            if upsample:
+                disps_up = _upsample_slots(
+                    disps, disps_up, upmask, fids, slot_mask
+                )
+            return (damping, disps_up), (net2, target2, weight2)
+
+        (damping, disps_up), (net_ch, target_ch, weight_ch) = jax.lax.scan(
+            chunk_body,
+            (damping, disps_up),
+            (net_ch, target_ch, weight_ch, ii_ch, jj_ch, ii_rig_ch,
+             jj_rig_ch, mask_ch, edge_slot_ch, frame_ids_ch),
+        )
+
+        tgt = target_ch.reshape((-1,) + target_ch.shape[2:])
+        wgt = weight_ch.reshape((-1,) + weight_ch.shape[2:])
+        wgt = wgt * dba_mask[:, None, None, None]
+        eta_dense = 0.2 * damping + EP
+        poses, disps = dba_step(
+            poses, disps, s0.intrinsics[0], s0.disps_sens, tgt, wgt,
+            eta_dense,
+            dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
+            dba_edge_slot, rows_of_frame, t0, t1,
+            P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=False,
+        )
+        disps = jnp.maximum(disps, 1e-3)
+        return (net_ch, target_ch, weight_ch, poses, disps, damping,
+                disps_up)
+
+    return jax.lax.fori_loop(0, steps, step_body, state)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net_def", "num_slots", "steps", "P", "dba_iters",
+                     "upsample"),
+    donate_argnums=(4, 5, 6),  # chunked net/target/weight staging buffers
+)
+def _lowmem_loop(net_def, params, video_state, fmap_pyr, net_ch, target_ch,
+                 weight_ch, *rest, **kw):
+    """steps x {chunked GRU sweep + global DBA} as one device program (see
+    _lowmem_loop_impl)."""
+    return _lowmem_loop_impl(net_def, params, video_state, fmap_pyr,
+                             net_ch, target_ch, weight_ch, *rest, **kw)
+
+
 @jax.jit
 def _update_damping(damping, eta_slots, frame_ids, slot_mask):
     """Scatter per-slot eta into the dense per-frame damping buffer
@@ -755,11 +861,183 @@ class FactorGraph:
         )
         self.video.dirty[t0:t1] = True
 
-    def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8, EP=1e-7):
+    def _lowmem_chunk_plan(self, CH):
+        """Host plan shared by the fused / unfused low-memory paths:
+        stacked per-chunk edge lists, rig-expanded feature indices
+        (factor_graph.py:279), and compact frame slots for GraphAgg."""
+        n = self.n_edges
+        rig = self.video.state.fmaps.shape[1]
+        C = (n + CH - 1) // CH
+        ii_ch = np.zeros((C, CH), np.int32)
+        jj_ch = np.zeros((C, CH), np.int32)
+        mask_ch = np.zeros((C, CH), np.float32)
+        edge_slot_ch = np.zeros((C, CH), np.int32)
+        frame_ids_ch = np.zeros((C, CH), np.int32)
+        for c in range(C):
+            lo = c * CH
+            hi = min(lo + CH, n)
+            ii_ch[c, : hi - lo] = self.ii[lo:hi]
+            jj_ch[c, : hi - lo] = self.jj[lo:hi]
+            mask_ch[c, : hi - lo] = 1.0
+            uniq = np.unique(ii_ch[c][mask_ch[c] > 0])
+            frame_ids_ch[c, : len(uniq)] = uniq
+            slot_of = {int(f): s for s, f in enumerate(uniq)}
+            edge_slot_ch[c] = [slot_of.get(int(i), 0) for i in ii_ch[c]]
+        ii_rig_ch = rig * ii_ch
+        jj_rig_ch = rig * jj_ch + (
+            (ii_ch == jj_ch).astype(np.int32) if rig > 1 else 0
+        )
+        return C, ii_ch, jj_ch, ii_rig_ch, jj_rig_ch, mask_ch, \
+            edge_slot_ch, frame_ids_ch
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8, EP=1e-7,
+                      mesh=None):
         """Global low-memory optimization (factor_graph.py:255-302):
-        ``steps`` rounds of {chunked fused-correlation GRU updates over all
-        edges, then one global DBA}.  Edges are processed in fixed-size
-        slot chunks so each jit compiles once."""
+        ``steps`` rounds of {chunked fused-correlation GRU updates over
+        all edges, then one global DBA}, fused into ONE device program
+        (lax.fori_loop over steps, lax.scan over edge chunks).
+
+        With ``mesh`` (>1 device), the whole pass runs sharded over the
+        keyframe axis (parallel/backend_shard.py): edges partitioned by
+        source frame, GRU chunk sweep and DBA both shard-local."""
+        if self.n_edges == 0:
+            return
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            return self._update_lowmem_sharded(mesh, t0, t1, itrs, steps, EP)
+        t = self.video.counter
+        cfg = self.cfg
+        CH = cfg.backend_chunk
+
+        self.corr_impl = "alt"
+        self._pyr_dirty = True
+        self._ensure_pyramid()
+
+        n = self.n_edges
+        (C, ii_ch, jj_ch, ii_rig_ch, jj_rig_ch, mask_ch, edge_slot_ch,
+         frame_ids_ch) = self._lowmem_chunk_plan(CH)
+
+        # gather the slot buffers into [C, CH, ...] staging arrays
+        h, w = cfg.ht8, cfg.wd8
+        in_slot = jnp.asarray(np.arange(C * CH) % self.E)
+        net_ch = self.net[in_slot].reshape(C, CH, h, w, 128)
+        target_ch = self.target[in_slot].reshape(C, CH, h, w, 2)
+        weight_ch = self.weight[in_slot].reshape(C, CH, h, w, 2)
+
+        # one DBA plan over the chunk-flattened edge list (topology is
+        # fixed for the whole call)
+        plan = DbaPlan.build_masked(
+            ii_ch.reshape(-1), jj_ch.reshape(-1), mask_ch.reshape(-1),
+            cfg.buffer, dmax_bucket=self._dmax, frame_bucket=self._kbucket,
+        )
+        self._dmax = plan.rows_of_frame.shape[1]
+        self._kbucket = plan.kf_ids.shape[0]
+
+        t0_ = 1 if t0 is None else t0
+        t1_ = t if t1 is None else t1
+        P = cfg.pose_bucket if (t1_ - t0_) <= cfg.pose_bucket else cfg.buffer
+
+        out = _lowmem_loop(
+            self.net_def, self.params, self.video.state, self.fmap_pyr,
+            net_ch, target_ch, weight_ch,
+            jnp.asarray(ii_ch), jnp.asarray(jj_ch),
+            jnp.asarray(ii_rig_ch), jnp.asarray(jj_rig_ch),
+            jnp.asarray(mask_ch), jnp.asarray(edge_slot_ch),
+            jnp.asarray(frame_ids_ch),
+            *plan.jax_arrays(), jnp.int32(t0_), jnp.int32(t1_),
+            num_slots=CH, steps=steps, P=P, dba_iters=itrs,
+            lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, upsample=self.upsample,
+        )
+        net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
+
+        # scatter staging buffers back to the live slots (pad rows drop)
+        out_slot = np.arange(C * CH)
+        out_slot[n:] = self.E
+        out_slot = jnp.asarray(out_slot)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        self.net = self.net.at[out_slot].set(flat(net_ch), mode="drop")
+        self.target = self.target.at[out_slot].set(
+            flat(target_ch), mode="drop"
+        )
+        self.weight = self.weight.at[out_slot].set(
+            flat(weight_ch), mode="drop"
+        )
+        s = self.video.state._replace(
+            poses=poses, disps=disps, damping=damping
+        )
+        if self.upsample:
+            s = s._replace(disps_up=disps_up)
+        self.video.state = s
+        self.video.dirty[:t] = True
+
+    def _update_lowmem_sharded(self, mesh, t0=None, t1=None, itrs=2,
+                               steps=8, EP=1e-7):
+        """update_lowmem over a device mesh (see parallel/backend_shard)."""
+        from lgu_slam_tpu.parallel.backend_shard import (  # noqa: PLC0415
+            ShardedLowmemPlan, lowmem_steps_sharded,
+        )
+
+        t = self.video.counter
+        cfg = self.cfg
+        CH = cfg.backend_chunk
+        rig = self.video.state.fmaps.shape[1]
+        D = int(np.prod(mesh.devices.shape))
+        axis = mesh.axis_names[0]
+
+        self.corr_impl = "alt"
+        self._pyr_dirty = True
+        self._ensure_pyramid()
+
+        plan = ShardedLowmemPlan.build(
+            self.ii, self.jj, cfg.buffer, D, CH, rig=rig,
+            dmax_bucket=self._dmax,
+        )
+        self._dmax = plan.rof.shape[2]
+        C = plan.ii.shape[1]
+
+        h, w = cfg.ht8, cfg.wd8
+        perm_flat = plan.perm.reshape(-1)
+        in_slot = jnp.asarray(perm_flat % self.E)
+        net_ch = self.net[in_slot].reshape(D, C, CH, h, w, 128)
+        target_ch = self.target[in_slot].reshape(D, C, CH, h, w, 2)
+        weight_ch = self.weight[in_slot].reshape(D, C, CH, h, w, 2)
+
+        t0_ = 1 if t0 is None else t0
+        t1_ = t if t1 is None else t1
+        Pb = cfg.pose_bucket if (t1_ - t0_) <= cfg.pose_bucket \
+            else cfg.buffer
+
+        out = lowmem_steps_sharded(
+            mesh, axis, self.net_def, self.params, self.video.state,
+            self.fmap_pyr, net_ch, target_ch, weight_ch, plan, t0_, t1_,
+            num_slots=CH, steps=steps, Pb=Pb, dba_iters=itrs,
+            lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, upsample=self.upsample,
+        )
+        net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
+
+        out_slot = jnp.asarray(
+            np.where(plan.mask.reshape(-1) > 0, perm_flat, self.E)
+        )
+        # shard_map concatenates the device axis into dim 0: [D*C, CH, ...]
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        self.net = self.net.at[out_slot].set(flat(net_ch), mode="drop")
+        self.target = self.target.at[out_slot].set(
+            flat(target_ch), mode="drop"
+        )
+        self.weight = self.weight.at[out_slot].set(
+            flat(weight_ch), mode="drop"
+        )
+        s = self.video.state._replace(
+            poses=poses, disps=disps, damping=damping
+        )
+        if self.upsample:
+            s = s._replace(disps_up=disps_up)
+        self.video.state = s
+        self.video.dirty[:t] = True
+
+    def _update_lowmem_chunked(self, t0=None, t1=None, itrs=2, steps=8,
+                               EP=1e-7):
+        """Unfused update_lowmem (steps x n_chunks host dispatches) — kept
+        as the semantics oracle for tests/test_slam_modes.py."""
         if self.n_edges == 0:
             return
         t = self.video.counter

@@ -38,9 +38,16 @@ def init_params(cfg: SLAMConfig, seed: int = 0):
         intr = jnp.broadcast_to(
             jnp.asarray([W / 2.0, W / 2.0, W / 16.0, H / 16.0]), (1, 2, 4)
         )
-        variables = net.init(
-            jax.random.PRNGKey(seed), Gs, images, disps, intr, ii, jj, 1, 1
-        )
+
+        # ONE jitted program: flax's eager init dispatches thousands of
+        # tiny ops, each paying compile-cache overhead (~12 min measured
+        # when the persistent cache holds unloadable cross-machine CPU
+        # AOT entries); jitted, the whole init is a single compile.
+        def _init(rng):
+            return net.init(rng, Gs, images, disps, intr, ii, jj, 1, 1)
+
+        variables = jax.jit(_init)(jax.random.PRNGKey(seed))
+        jax.block_until_ready(variables)
     params = variables["params"]
     if jax.default_backend() != "cpu":
         params = jax.device_put(params, jax.devices()[0])
@@ -58,7 +65,15 @@ class LGUSlam:
         self.video = Video(cfg)
         self.filter = MotionFilter(self.net_def, params, self.video, cfg)
         self.frontend = Frontend(self.net_def, params, self.video, cfg)
-        self.backend = Backend(self.net_def, params, self.video, cfg)
+        # >1 device: global backend passes shard the keyframe axis over
+        # the whole mesh (parallel/backend_shard.py)
+        mesh = None
+        if jax.device_count() > 1:
+            from jax.sharding import Mesh  # noqa: PLC0415
+
+            mesh = Mesh(np.asarray(jax.devices()), ("kf",))
+        self.backend = Backend(self.net_def, params, self.video, cfg,
+                               mesh=mesh)
         self.traj_filler = TrajectoryFiller(
             self.net_def, params, self.video, cfg
         )

@@ -40,6 +40,8 @@ def main():
     p.add_argument("--upsample", action="store_true")
     p.add_argument("--trajectory_path", default="trajectory.txt")
     p.add_argument("--reconstruction_path", default=None)
+    p.add_argument("--target_pixels", type=int, default=384 * 512,
+                   help="resize frames to ~this many pixels")
     args = p.parse_args()
 
     from lgu_slam_tpu.data.streams import image_stream, rgbd_stream
@@ -50,9 +52,11 @@ def main():
     def make_stream():
         if args.depthdir:
             return rgbd_stream(
-                args.imagedir, args.depthdir, args.calib, args.stride
+                args.imagedir, args.depthdir, args.calib, args.stride,
+                target_pixels=args.target_pixels,
             )
-        return image_stream(args.imagedir, args.calib, args.stride)
+        return image_stream(args.imagedir, args.calib, args.stride,
+                            target_pixels=args.target_pixels)
 
     # probe first frame for image size
     first = next(iter(make_stream()))

@@ -1,0 +1,108 @@
+"""Sharded backend pass (parallel/backend_shard.py) vs the single-device
+fused update_lowmem.
+
+The test topology gives every frame exactly 4 out-edges so that, sorted by
+``ii`` and range-partitioned over 8 shards, every shard holds exactly one
+CH=8 chunk whose boundaries coincide with the single-device chunking —
+making the GraphAgg chunk composition identical and the parity exact (up
+to collective reduction order)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from lgu_slam_tpu.slam.backend import Backend
+from lgu_slam_tpu.slam.factor_graph import FactorGraph
+from lgu_slam_tpu.slam.system import init_params
+from lgu_slam_tpu.utils.config import SLAMConfig
+
+from tests.test_lowmem import stage_video
+
+
+def make_cfg():
+    return SLAMConfig(
+        image_size=(64, 96), buffer=16, warmup=4,
+        max_factors=64, edge_bucket=64, inactive_bucket=8,
+        pose_bucket=16, backend_edge_cap=64, backend_chunk=8,
+    )
+
+
+def edge_list(T=16):
+    ii, jj = [], []
+    for i in range(T):
+        js = []
+        for d in (1, 2, 3, 4, -1, -2, -3, -4):  # nearest 4 valid neighbours
+            j = i + d
+            if 0 <= j < T and j not in js:
+                js.append(j)
+            if len(js) == 4:
+                break
+        for j in js:
+            ii.append(i)
+            jj.append(j)
+    return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
+
+
+def build_graph(cfg, net, params, seed=7):
+    video = stage_video(cfg, T=16, seed=seed)
+    graph = FactorGraph(
+        net, params, video, cfg, corr_impl="alt",
+        max_factors=cfg.max_factors, edge_bucket=cfg.backend_edge_cap,
+        inactive_bucket=8,
+    )
+    ii, jj = edge_list()
+    graph.add_factors(ii, jj)
+    return graph
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_lowmem_matches_single_device():
+    cfg = make_cfg()
+    net, params = init_params(cfg, seed=0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("kf",))
+
+    g_ref = build_graph(cfg, net, params)
+    g_sh = build_graph(cfg, net, params)
+    assert g_ref.n_edges == 64  # 16 frames x 4 edges -> 8 aligned chunks
+
+    g_ref.update_lowmem(steps=2)
+    g_sh.update_lowmem(steps=2, mesh=mesh)
+
+    T = g_ref.video.counter
+    for name, a, b in [
+        ("poses", g_sh.video.state.poses[:T], g_ref.video.state.poses[:T]),
+        ("disps", g_sh.video.state.disps[:T], g_ref.video.state.disps[:T]),
+        ("damping", g_sh.video.state.damping[:T],
+         g_ref.video.state.damping[:T]),
+    ]:
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, err_msg=name)
+
+    # edge buffers: compare per live edge (layouts differ)
+    for name, g in (("target", "target"), ("weight", "weight"),
+                    ("net", "net")):
+        a = np.asarray(getattr(g_sh, g)[: g_sh.n_edges])
+        b = np.asarray(getattr(g_ref, g)[: g_ref.n_edges])
+        # pixel-scale buffers: tolerate float reduction-order noise
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_backend_runs_sharded_on_mesh():
+    """The real Backend entry point on a mesh: proximity planning + the
+    sharded global pass stay finite end-to-end."""
+    cfg = make_cfg()
+    net, params = init_params(cfg, seed=0)
+    video = stage_video(cfg, T=12, seed=3)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("kf",))
+    be = Backend(net, params, video, cfg, mesh=mesh)
+    be(steps=2)
+    T = video.counter
+    poses = np.asarray(video.state.poses[:T])
+    disps = np.asarray(video.state.disps[:T])
+    assert np.isfinite(poses).all() and np.isfinite(disps).all()
+    assert (disps >= 1e-3).all()
+    assert video.dirty[:T].all()
