@@ -35,6 +35,10 @@ class GSConfig:
     sil_thres: float = 0.5
     prune_every: int = 20
     prune_opacity: float = 0.005
+    prune_big_after: int = 0  # 0 = never remove big (scale>0.1*radius)
+    densify_every: int = 0  # 0 = off; else clone/split cadence (iters)
+    densify_grad_thresh: float = 0.0002
+    num_to_split_into: int = 2
     lr_means3D: float = 0.0001
     lr_rgb: float = 0.0025
     lr_rots: float = 0.001
@@ -65,11 +69,11 @@ def make_mapping_step(cfg: GSConfig, img_size):
     """Jitted mapping iteration: render + loss + Adam update."""
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, alive, frame):
+    def loss_fn(params, xy_probe, alive, frame):
         im_gt, depth_gt, w2c_rot, w2c_trans, intr = frame
         img, depth, sil, _ = render_rgbd(
             params, alive, w2c_rot, w2c_trans, intr, img_size,
-            span=cfg.span, k_max=cfg.k_max,
+            span=cfg.span, k_max=cfg.k_max, xy_offset=xy_probe,
         )
         mask = (depth_gt > 0) & (sil > cfg.sil_thres)
         mask = jax.lax.stop_gradient(mask)
@@ -87,16 +91,22 @@ def make_mapping_step(cfg: GSConfig, img_size):
 
     @jax.jit
     def step(params, opt_state, alive, frame):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, alive, frame
-        )
+        # the zero-valued xy probe's gradient is dL/dmeans2D — the
+        # densification signal (gs_external.accumulate_mean2d_gradient)
+        xy_probe = jnp.zeros((params["means3D"].shape[0], 2))
+        (loss, aux), (grads, g2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, xy_probe, alive, frame)
         # frozen (dead/padded) slots must not move
         grads = jax.tree_util.tree_map(
             lambda g: g * alive[:, None].astype(g.dtype), grads
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        g2d_norm = jnp.linalg.norm(g2d, axis=-1) * alive.astype(
+            g2d.dtype
+        )
+        return params, opt_state, loss, aux, g2d_norm
 
     return tx, step
 
@@ -121,6 +131,9 @@ class GaussianMapper:
         self.tx, self.step = make_mapping_step(cfg, img_size)
         self.opt_state = None
         self.keyframes = []
+        self.scene_radius = 1.0  # max depth / 3 of the first frame
+        self._g2d_accum = np.zeros(cfg.capacity, np.float32)
+        self._g2d_denom = np.zeros(cfg.capacity, np.float32)
 
     def _ensure_opt(self):
         self.opt_state = self.tx.init(self.map.params)
@@ -131,6 +144,8 @@ class GaussianMapper:
         cfg = self.cfg
         if self.map.count == 0:
             non_presence = np.ones(depth.shape, bool)
+            self.scene_radius = float(np.max(depth)) / 3.0  # SplaTAM
+            # scene_radius_depth_ratio (executeSlam.py:229)
         else:
             rdepth, sil = _silhouette_pass(
                 self.map.params, self.map.alive_device(),
@@ -164,16 +179,40 @@ class GaussianMapper:
         rng = np.random.default_rng(len(self.keyframes))
         alive = self.map.alive_device()
         losses = []
+        self._iter = getattr(self, "_iter", 0)
         for it in range(iters):
             f = frames[int(rng.integers(0, len(frames)))]
-            self.map.params, self.opt_state, loss, _ = self.step(
+            self.map.params, self.opt_state, loss, _, g2d = self.step(
                 self.map.params, self.opt_state, alive, f
             )
             losses.append(float(loss))
+            self._iter += 1
+            if cfg.densify_every:
+                g = np.asarray(g2d)
+                self._g2d_accum += g
+                self._g2d_denom += g > 0
             if (it + 1) % cfg.prune_every == 0:
                 op = jax.nn.sigmoid(
                     np.asarray(self.map.params["logit_opacities"][:, 0])
                 )
-                self.map.prune(op < cfg.prune_opacity)
+                rm = op < cfg.prune_opacity
+                if cfg.prune_big_after and self._iter >= cfg.prune_big_after:
+                    big = np.exp(np.asarray(
+                        self.map.params["log_scales"]).max(axis=1)
+                    ) > 0.1 * self.scene_radius
+                    rm |= big
+                self.map.prune(rm)
+                alive = self.map.alive_device()
+            if cfg.densify_every and self._iter % cfg.densify_every == 0:
+                grads = self._g2d_accum / np.maximum(self._g2d_denom, 1.0)
+                added = self.map.densify(
+                    grads, self.scene_radius,
+                    grad_thresh=cfg.densify_grad_thresh,
+                    num_to_split_into=cfg.num_to_split_into,
+                )
+                if added:
+                    self._ensure_opt()  # new slots -> fresh Adam moments
+                self._g2d_accum[:] = 0.0
+                self._g2d_denom[:] = 0.0
                 alive = self.map.alive_device()
         return losses

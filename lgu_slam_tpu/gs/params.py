@@ -109,3 +109,90 @@ class GaussianMap:
 
     def alive_device(self):
         return jnp.asarray(self.alive)
+
+    def _append_rows(self, rows: dict, time_idx):
+        """Write full parameter rows into free slots (densify append)."""
+        n = rows["means3D"].shape[0]
+        free = self.capacity - self.count
+        if n > free:
+            rows = {k: v[:free] for k, v in rows.items()}
+            n = free
+        if n == 0:
+            return 0
+        idx = jnp.arange(self.count, self.count + n)
+        self.params = {
+            k: self.params[k].at[idx].set(jnp.asarray(v, jnp.float32))
+            for k, v in rows.items()
+        }
+        self.alive[self.count : self.count + n] = True
+        self.timestep[self.count : self.count + n] = np.asarray(
+            time_idx, np.float32
+        )[:n] if np.ndim(time_idx) else time_idx
+        self.count += n
+        return n
+
+    def densify(self, grads, scene_radius, grad_thresh=0.0002,
+                num_to_split_into=2):
+        """Gradient-thresholded clone/split densification
+        (to3DGS/utils/gs_external.py:191-233):
+
+        - **clone**: Gaussians with accumulated mean-2D-gradient >=
+          ``grad_thresh`` and max scale <= 0.01 * scene_radius are
+          duplicated in place;
+        - **split**: large high-gradient Gaussians are replaced by
+          ``num_to_split_into`` samples drawn from their own ellipsoid,
+          with scales shrunk by 1 / (0.8 n); the original is removed.
+
+        ``grads`` is the per-Gaussian accumulated ||dL/dmeans2D|| / denom
+        (accumulate_mean2d_gradient).  Returns #Gaussians appended.
+        """
+        g = np.nan_to_num(np.asarray(grads))
+        scales_max = np.exp(
+            np.asarray(self.params["log_scales"]).max(axis=1)
+        )
+        cand = (g >= grad_thresh) & self.alive
+        cand[self.count:] = False
+        small = scales_max <= 0.01 * scene_radius
+        to_clone = np.where(cand & small)[0]
+        to_split = np.where(cand & ~small)[0]
+        if len(to_clone) == 0 and len(to_split) == 0:
+            return 0
+
+        host = {k: np.asarray(v) for k, v in self.params.items()}
+        added = 0
+        if len(to_clone):
+            rows = {k: v[to_clone] for k, v in host.items()}
+            added += self._append_rows(rows, self.timestep[to_clone])
+        if len(to_split):
+            n = num_to_split_into
+            reps = np.repeat(to_split, n)
+            stds = np.exp(host["log_scales"][reps])  # [S*n, 1] isotropic
+            rng = np.random.default_rng(self.count)
+            samples = rng.normal(size=(len(reps), 3)).astype(
+                np.float32
+            ) * stds
+            # rotate samples into the Gaussian frame (gs_external:222-225;
+            # a no-op for isotropic scales, kept for parity)
+            q = host["unnorm_rotations"][reps]
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+            )
+            w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+            R = np.stack([
+                np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                          2 * (x * z + w * y)], -1),
+                np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                          2 * (y * z - w * x)], -1),
+                np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                          1 - 2 * (x * x + y * y)], -1),
+            ], axis=-2)
+            rows = {k: v[reps].copy() for k, v in host.items()}
+            rows["means3D"] = rows["means3D"] + np.einsum(
+                "nij,nj->ni", R, samples
+            )
+            rows["log_scales"] = np.log(
+                np.exp(rows["log_scales"]) / (0.8 * n)
+            )
+            added += self._append_rows(rows, self.timestep[reps])
+            self.alive[to_split] = False  # originals removed
+        return added

@@ -108,6 +108,7 @@ def render_gaussians(
     k_max: int = 96,
     tile_chunk: int = 64,
     channels: int = 3,
+    xy_offset=None,
 ):
     """Render [H, W, channels] image + [H, W] silhouette + [H, W] depth.
 
@@ -129,6 +130,10 @@ def render_gaussians(
     xy, depth, conic, radius = project_gaussians(
         means_cam, quats, scales, intr, img_size
     )
+    if xy_offset is not None:
+        # zero-valued probe: grad wrt xy_offset == dL/dmeans2D, the
+        # densification signal (gs_external.accumulate_mean2d_gradient)
+        xy = xy + xy_offset
 
     valid = alive & (depth > 0.01) & (radius > 0)
     radius = jnp.minimum(radius, (span * TILE) / 2.0 - 1.0)

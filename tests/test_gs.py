@@ -118,7 +118,7 @@ def test_mapping_step_reduces_loss(rng):
     im_l1 = []
     alive = mapper.map.alive_device()
     for _ in range(12):
-        mapper.map.params, mapper.opt_state, loss, aux = mapper.step(
+        mapper.map.params, mapper.opt_state, loss, aux, _ = mapper.step(
             mapper.map.params, mapper.opt_state, alive, frame
         )
         im_l1.append(float(aux[0]))
@@ -161,3 +161,58 @@ def test_pointcloud_from_depth_roundtrip():
     np.testing.assert_allclose(pts[:, 2], 2.0)
     # center pixel maps near the optical axis
     assert np.abs(pts[:, :2]).max() < 1.0
+
+
+def test_densify_clone_split_unit():
+    """gs_external.py:191-233 semantics on the padded map: small
+    high-gradient Gaussians clone, big ones split into n children with
+    shrunk scales and the original removed."""
+    from lgu_slam_tpu.gs.params import GaussianMap
+
+    m = GaussianMap.create(64)
+    pts = np.asarray([[0, 0, 1], [0, 0, 2], [0, 0, 3]], np.float32)
+    cols = np.zeros((3, 3), np.float32)
+    msq = np.asarray([1e-6, 1.0, 1e-6])  # scale = sqrt(msq)
+    m.add_points(pts, cols, msq, 0)
+
+    grads = np.zeros(64, np.float32)
+    grads[0] = 1.0  # small -> clone
+    grads[1] = 1.0  # big (scale 1.0 > 0.01 * radius) -> split
+    added = m.densify(grads, scene_radius=1.0, grad_thresh=0.5,
+                      num_to_split_into=2)
+    assert added == 3  # 1 clone + 2 split children
+    assert m.count == 6
+    assert not m.alive[1]  # split original removed
+    assert m.alive[[0, 2, 3, 4, 5]].all()
+    # clone is an exact copy
+    np.testing.assert_allclose(np.asarray(m.params["means3D"][3]), pts[0])
+    # split children: scales shrunk by 1/(0.8 n), means near the original
+    child_scale = float(np.exp(m.params["log_scales"][4, 0]))
+    np.testing.assert_allclose(child_scale, 1.0 / 1.6, rtol=1e-5)
+    d = np.asarray(m.params["means3D"][4:6]) - pts[1]
+    assert np.all(np.abs(d) < 5.0)  # sampled from the ellipsoid
+
+
+def test_mapping_densify_integration(rng):
+    """A mapping run with densify enabled stays finite and the g2d probe
+    produces a usable signal."""
+    from lgu_slam_tpu.gs.mapping import GaussianMapper, GSConfig
+
+    H, W = 32, 32
+    intr = np.asarray([30.0, 30.0, W / 2, H / 2], np.float32)
+    depth = np.full((H, W), 2.0, np.float32)
+    im = rng.random((H, W, 3)).astype(np.float32)
+    cfg = GSConfig(capacity=4096, mapping_iters=0, span=4, k_max=128,
+                   prune_every=1000, densify_every=4,
+                   densify_grad_thresh=1e-6)
+    mapper = GaussianMapper(cfg, (H, W))
+    R, t = np.eye(3), np.zeros(3)
+    mapper.add_frame_gaussians(im, depth, jnp.asarray(R), jnp.asarray(t),
+                               intr, 0)
+    n0 = int(mapper.map.alive.sum())
+    frame = (jnp.asarray(im), jnp.asarray(depth), jnp.asarray(R),
+             jnp.asarray(t), jnp.asarray(intr))
+    mapper.map_frame([frame], iters=8)
+    assert np.isfinite(np.asarray(mapper.map.params["means3D"])).all()
+    # with a tiny threshold the densify pass must have fired and appended
+    assert int(mapper.map.count) > n0
