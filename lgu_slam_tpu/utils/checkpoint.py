@@ -40,7 +40,24 @@ def _dense(w, b=None):
     return out
 
 
-def _kan(sd, prefix):
+def _kan(sd, prefix, grid_size=3, spline_order=3, grid_range=(-1.0, 1.0)):
+    # the JAX KANLinear hard-codes a uniform grid; a checkpoint whose grid
+    # was adapted via the reference's update_grid() would otherwise load
+    # silently wrong — fail loudly instead (advisor finding).
+    if prefix + "grid" in sd:
+        g = np.asarray(sd[prefix + "grid"])
+        h = (grid_range[1] - grid_range[0]) / grid_size
+        uniform = (
+            np.arange(-spline_order, grid_size + spline_order + 1) * h
+            + grid_range[0]
+        ).astype(np.float32)
+        if not np.allclose(g, uniform[None, :], atol=1e-5):
+            raise ValueError(
+                f"{prefix}grid was adapted (update_grid); the JAX KANLinear "
+                "only supports the uniform grid — re-export the checkpoint "
+                "without grid adaptation or refit with "
+                "lgu_slam_tpu.models.kan grid utilities"
+            )
     return {
         "base_weight": np.transpose(np.asarray(sd[prefix + "base_weight"]), (1, 0)),
         "spline_weight": np.transpose(

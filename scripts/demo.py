@@ -42,6 +42,9 @@ def main():
     p.add_argument("--reconstruction_path", default=None)
     p.add_argument("--target_pixels", type=int, default=384 * 512,
                    help="resize frames to ~this many pixels")
+    p.add_argument("--export_every", type=int, default=0,
+                   help="write growing .ply snapshots every N frames")
+    p.add_argument("--export_dir", default="recon")
     args = p.parse_args()
 
     from lgu_slam_tpu.data.streams import image_stream, rgbd_stream
@@ -82,7 +85,14 @@ def main():
             params = pickle.load(f)["params"]
 
     slam = LGUSlam(params, cfg, net_def=net)
+    inc = None
+    if args.export_every:
+        from lgu_slam_tpu.slam.visualization import IncrementalReconstruction
+
+        os.makedirs(args.export_dir, exist_ok=True)
+        inc = IncrementalReconstruction(slam.video)
     tstamps = []
+    n_tracked = 0
     for item in make_stream():
         if args.depthdir:
             t, image, depth, intr = item
@@ -95,8 +105,21 @@ def main():
                 continue
             slam.track(t, image, intrinsics=intr)
         tstamps.append(t)
+        n_tracked += 1
+        if inc is not None and n_tracked % args.export_every == 0:
+            # consume the dirty-flag protocol incrementally
+            # (droid_slam/visualization.py:81-112)
+            if inc.update():
+                inc.export_ply(os.path.join(
+                    args.export_dir, f"points_{n_tracked:05d}.ply"))
+                inc.export_frusta(os.path.join(
+                    args.export_dir, f"cameras_{n_tracked:05d}.ply"))
 
     traj = slam.terminate(make_stream())
+    if inc is not None:
+        inc.update()
+        inc.export_ply(os.path.join(args.export_dir, "points_final.ply"))
+        inc.export_frusta(os.path.join(args.export_dir, "cameras_final.ply"))
     save_tum_trajectory(args.trajectory_path, tstamps[: len(traj)], traj)
     print(f"trajectory ({len(traj)} poses) -> {args.trajectory_path}")
 

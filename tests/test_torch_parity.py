@@ -9,10 +9,17 @@ reproduce the torch outputs to fp32 tolerance.  This is the end-to-end
 proof that reference checkpoints load correctly (SURVEY.md §7.2 step 3).
 """
 
+import os
+
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+if not os.path.isdir("/root/reference"):  # advisor: skip, don't error,
+    # when the reference checkout is absent (and keep ref_torch's
+    # sys.modules stubs from being installed for unrelated tests)
+    pytest.skip("reference repo not available", allow_module_level=True)
 
 from ref_torch import import_reference  # noqa: E402
 
@@ -217,6 +224,8 @@ def test_update_module_parity(tg):
         nhwc5(net), nhwc5(inp), nhwc5(corr), nhwc5(flow),
         edge_slot, num_frames, np.ones(e, np.float32),
     )
+    # advisor: all 4 frame slots are occupied here -> fmask all-true
+    assert np.asarray(fmask).all()
 
     np.testing.assert_allclose(
         np.transpose(np.asarray(net_j), (0, 1, 4, 2, 3)),
@@ -236,6 +245,36 @@ def test_update_module_parity(tg):
     np.testing.assert_allclose(
         np.transpose(np.asarray(upmask_j), (0, 1, 4, 2, 3)),
         upmask_r.numpy(), rtol=1e-3, atol=1e-4,
+    )
+
+    # advisor: the padded path — extra empty frame slots + a masked edge.
+    # Occupied slots must still match the reference outputs computed on
+    # the reduced (live-edge) problem; empty slots flag false.
+    live = np.arange(e) != 4  # drop the only frame-2 edge
+    ii_live = torch.from_numpy(ii_np[live])
+    with torch.no_grad():
+        net_r2, delta_r2, weight_r2, eta_r2, upmask_r2 = tm(
+            net[:, live], inp[:, live], corr[:, live], flow[:, live],
+            ii_live, ii_live,
+        )
+    num_frames2 = 6  # > max(ii)+1: slots 4, 5 always empty
+    # compact slots over live source frames {0, 1, 3} -> {0, 1, 2}
+    eslot2 = np.array([0, 0, 1, 1, 5, 2], np.int32)  # dead edge -> pad slot
+    emask2 = live.astype(np.float32)
+    net_j2, delta_j2, weight_j2, eta_j2, _up2, fmask2 = jm.apply(
+        {"params": params},
+        nhwc5(net), nhwc5(inp), nhwc5(corr), nhwc5(flow),
+        eslot2, num_frames2, emask2,
+    )
+    fmask2 = np.asarray(fmask2)
+    assert fmask2[:3].all() and not fmask2[3:].any()
+    np.testing.assert_allclose(
+        np.asarray(delta_j2)[:, live], delta_r2.numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(eta_j2)[:, :3],
+        eta_r2.numpy(), rtol=1e-3, atol=1e-5,
     )
 
 
