@@ -20,7 +20,15 @@ SEQUENCES = [
 ]
 
 
-def load_gt(datapath):
+def load_gt(datapath, gt_txt=None):
+    """Ground truth from the dataset's state-estimate csv, or — when
+    ``gt_txt`` is given — from a standalone EuRoC gt .txt in the format
+    the reference vendors at data/euroc_groundtruth/*.txt
+    (tools/evaluate_euroc.sh passes those as --gt)."""
+    if gt_txt is not None:
+        from lgu_slam_tpu.eval.ate import load_euroc_gt_txt
+
+        return load_euroc_gt_txt(gt_txt)
     path = os.path.join(
         datapath, "mav0", "state_groundtruth_estimate0", "data.csv"
     )
@@ -33,7 +41,7 @@ def load_gt(datapath):
     return t, poses
 
 
-def evaluate_sequence(datapath, params, net):
+def evaluate_sequence(datapath, params, net, gt_txt=None):
     from lgu_slam_tpu.data.streams import euroc_stereo_stream
     from lgu_slam_tpu.eval.ate import associate, ate_rmse
     from lgu_slam_tpu.slam.system import LGUSlam
@@ -47,7 +55,7 @@ def evaluate_sequence(datapath, params, net):
     traj = slam.terminate(fill)
     est_t = [t for t, *_ in euroc_stereo_stream(datapath, stride=1)]
 
-    gt_t, gt_poses = load_gt(datapath)
+    gt_t, gt_poses = load_gt(datapath, gt_txt=gt_txt)
     pairs = associate(np.asarray(est_t[: len(traj)]), gt_t, max_dt=0.05)
     ia = [a for a, _ in pairs]
     ib = [b for _, b in pairs]
@@ -65,6 +73,9 @@ def main():
     p.add_argument("--datapath", required=True)
     p.add_argument("--weights", required=True)
     p.add_argument("--sequences", nargs="*", default=SEQUENCES)
+    p.add_argument("--gt_dir", default=None,
+                   help="directory of <seq>.txt gt files "
+                        "(reference data/euroc_groundtruth format)")
     args = p.parse_args()
 
     from lgu_slam_tpu.utils.config import EUROC_CONFIG
@@ -80,7 +91,10 @@ def main():
         if not os.path.isdir(path):
             print("skip", seq)
             continue
-        rmse = evaluate_sequence(path, params, net)
+        gt_txt = (
+            os.path.join(args.gt_dir, seq + ".txt") if args.gt_dir else None
+        )
+        rmse = evaluate_sequence(path, params, net, gt_txt=gt_txt)
         results[seq] = rmse
         print(f"{seq}: ATE {rmse:.4f} m")
 
