@@ -423,13 +423,36 @@ def alt_corr_lookup(
     coords: jnp.ndarray,
     ofs_map_fn,
     ofs_residual_fn,
+    use_volume: bool | None = None,
 ) -> jnp.ndarray:
     """Backend on-the-fly correlation features (corr.py:174-215).
 
     fmap_pyr: tuple of [N, H/2^i, W/2^i, C] (from build_fmap_pyramid);
     ii/jj: [E] frame indices (already rig-expanded by the caller);
     coords: [E, H, W, 2].  Returns [E, H, W, 196].
+
+    Two execution strategies with identical math (pooling commutes with
+    the feature dot: <f1, pool(f2)[tap]> == pool-over-targets(volume)[tap]):
+
+    - **fused taps** (CPU / training oracle): per-tap bilinear feature dot
+      — the direct analog of lowMem_defSample.cu.  On TPU this formulation
+      is pathological (4 data-dependent XLA gathers per tap, lax.map over
+      196 taps).
+    - **chunked volume** (TPU): per sub-chunk of edges, build each pyramid
+      level's correlation plane directly as one MXU matmul against the
+      *pooled* f2 maps (no O(N H^2 W^2) global volume, no volume pooling),
+      then run the packed Pallas window lookup.  Transients are bounded by
+      sub_chunk * P1 * P2 bf16 (~150 MB at reference scale).
     """
+    if use_volume is None:
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+        use_volume = platform == "tpu"
+    if use_volume:
+        return _alt_corr_lookup_volume(
+            fmap_pyr, ii, jj, coords, ofs_map_fn, ofs_residual_fn
+        )
+
     f1 = fmap_pyr[0][ii]  # [E, H, W, C], scaled by 1/4
     # offsets from the *unscaled* feature pair (corr.py:177-189 multiplies
     # the /4 pyramid back by 4)
@@ -452,3 +475,96 @@ def alt_corr_lookup(
         out.append(c)
     feats = jnp.concatenate(out, axis=1)
     return feats.transpose(0, 2, 3, 1)
+
+
+def _alt_corr_lookup_volume(
+    fmap_pyr,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    coords: jnp.ndarray,
+    ofs_map_fn,
+    ofs_residual_fn,
+    volume_dtype=jnp.bfloat16,
+    sub_chunk: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TPU strategy for :func:`alt_corr_lookup` (see its docstring)."""
+    from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
+        level_layout, pack_level, window_lookup_packed,
+    )
+
+    E = ii.shape[0]
+    H, W = coords.shape[1:3]
+    P1 = H * W
+    rd = 2 * RADIUS + 1
+
+    f1 = fmap_pyr[0][ii]  # [E, H, W, C] (/4)
+    t = jnp.concatenate([f1 * 4.0, fmap_pyr[0][jj] * 4.0], axis=-1)
+    off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
+    # center tap forced to zero (lowMem_defSample.cu; value semantics — the
+    # backend path runs without gradients)
+    off0 = off0.at[..., RADIUS, RADIUS, :].set(0.0)
+    off1 = off1.at[..., RADIUS, RADIUS, :].set(0.0)
+
+    SC = sub_chunk
+    while E % SC:
+        SC //= 2
+    n = E // SC
+    cflat = coords.reshape(E, P1, 2)
+    dims = [lvl.shape[1:3] for lvl in fmap_pyr]
+
+    def group(args):
+        f1g, jg, cg, o0g, o1g = args
+        f1f = f1g.reshape(SC, P1, -1)
+
+        def level_volume(lvl):
+            h2, w2 = dims[lvl]
+            f2 = fmap_pyr[lvl][jg].reshape(SC, h2 * w2, -1)
+            vol = jnp.einsum(
+                "epc,eqc->epq", f1f, f2,
+                preferred_element_type=jnp.float32,
+            ).astype(volume_dtype)
+            W2p, NS = level_layout(w2, lvl)
+            packed, _ = pack_level(vol, h2, w2, NS)
+            return packed, (h2, w2, W2p, NS)
+
+        vols = [level_volume(lvl) for lvl in range(NUM_LEVELS)]
+
+        # level-1 variance gate: plain 3x3 probe, no offsets
+        h1, w1 = dims[1]
+        ppx, ppy = _tap_positions(cg / 2.0, None, 1)
+        packed1, (_, _, W2p1, NS1) = vols[1]
+        probe = window_lookup_packed(
+            packed1, ppx, ppy, h1, w1, W2p1, NS1, interpret=interpret
+        )
+        var = jnp.var(probe, axis=-1, ddof=1)
+        gate = jax.nn.sigmoid(var)[..., None, None, None]  # [SC, P1, 1,1,1]
+
+        offs = (
+            o0g.reshape(SC, P1, rd, rd, 2),
+            o1g.reshape(SC, P1, rd, rd, 2) * gate,
+            None,
+            None,
+        )
+        out = []
+        for lvl in range(NUM_LEVELS):
+            packed, (h2, w2, W2p, NS) = vols[lvl]
+            px, py = _tap_positions(cg / (2.0 ** lvl), offs[lvl], RADIUS)
+            out.append(
+                window_lookup_packed(
+                    packed, px, py, h2, w2, W2p, NS, interpret=interpret
+                )
+            )
+        return jnp.concatenate(out, axis=-1)  # [SC, P1, 196]
+
+    feats = jax.lax.map(
+        group,
+        (
+            f1.reshape((n, SC) + f1.shape[1:]),
+            jj.reshape(n, SC),
+            cflat.reshape(n, SC, P1, 2),
+            off0.reshape((n, SC) + off0.shape[1:]),
+            off1.reshape((n, SC) + off1.shape[1:]),
+        ),
+    ).reshape(E, P1, 4 * rd * rd)
+    return feats.reshape(E, H, W, 4 * rd * rd)

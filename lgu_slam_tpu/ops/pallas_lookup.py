@@ -8,28 +8,33 @@ one-hot einsums over tiny dims) measured 0.6-9 s because the per-pixel
 window is data-dependent and the shapes are lane-hostile.
 
 The kernel exploits the one fast data-dependent primitive Mosaic has —
-``tpu.dynamic_gather``, a per-lane shuffle within 128-wide rows — plus
-per-pixel dynamic *sublane* slices:
+``tpu.dynamic_gather``, a per-lane shuffle within 128-wide rows.  The
+level volume is stored row-padded as [E, P1, S, 128]: W2 padded to a
+divisor ``W2p`` of 128, ``k = 128 // W2p`` target rows interleaved per
+stored row (stored row ``s``, lane ``l`` holds target cell
+``h = s*k + l // W2p``, ``w = l % W2p``), so the whole target plane of a
+pixel is S lane-rows.
 
-for each (edge, pixel-tile) block, with the level volume stored
-row-padded as [E, P1, S, 128] (W2 padded to a divisor ``W2p`` of 128,
-``k = 128 // W2p`` feature rows interleaved per stored row):
+For each (edge, pixel-tile) block and each bilinear y-corner, ONE lane
+index fully resolves a tap's (h % k, x) within its stored row; the stored
+row ``s = h // k`` is selected by an unrolled masked sum over the S rows:
 
-1. **slice**: per pixel, copy ``NS`` stored rows starting at a
-   data-dependent row ``s0`` (covers the tap window in h) — dynamic
-   sublane slices are cheap;
-2. **repeat**: tile the slab ``k``x so each target h-row has a dedicated
-   output row (lane-group ``j // NS`` selects the h-subrow);
-3. **gather**: one ``tpu.dynamic_gather`` fetches, for every tap, both
-   bilinear x-corners (lanes [0:64) = floor corner, [64:128) = +1);
-4. **blend**: bilinear x-weights then a dense separable *tent* over the
-   NR window rows reduces to [TP, K] outputs.
+    acc[t, tap] = sum_s (s == h[t,tap] // k) *
+                  dynamic_gather(vol[t, s, :], (h % k) * W2p + x)[tap]
+
+This replaces the earlier design's per-pixel *serial* dynamic sublane
+slices (a 128-iteration scalar loop per block — measured as ~60% of the
+kernel) and its k-fold ``pltpu.repeat`` + dense NR-row tent (the other
+~40%): the masked sum touches S rows instead of NS*k and needs no repeat,
+no iota tables, no scratch.  Profiled on v5 lite: 27.5 ms/iteration ->
+see BASELINE.md (the five per-iteration lookup calls were the dominant
+term of the whole frontend device program).
 
 Out-of-bounds semantics match the CUDA sampler exactly
 (/root/reference/offersample_LGS/defCorrSample_kernel.cu:48-66): taps
 whose floor corner is out of bounds produce 0 (folded into the x
 weights), partial corners are zero-padded (pad cols/rows are stored as
-zeros; h rows outside the window get zero tent weight).
+zeros; the +1 corners are weight-gated at the true W2/H2 extents).
 
 Forward-only: the SLAM inference path runs without gradients; training
 uses the differentiable XLA patch formulation in ``ops.sampler``.
@@ -42,7 +47,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _DIVISORS = (8, 16, 32, 64, 128)
 
@@ -53,7 +57,8 @@ MAX_OFFSET = 4
 
 
 def level_layout(W2: int, level: int):
-    """(W2p, NS) for a pyramid level's packed storage and window slice."""
+    """(W2p, NS) for a pyramid level's packed storage.  NS is retained
+    for API stability; the resolved-gather kernel no longer windows."""
     W2p = pad_w2(W2)
     rh = RADIUS + (MAX_OFFSET if level < 2 else 0)
     NS = pick_ns(2 * rh + 2, 128 // W2p)
@@ -69,85 +74,93 @@ def pad_w2(W2: int) -> int:
 
 
 def pick_ns(A: int, k: int) -> int:
-    """Smallest NS with NS*k >= A + k - 1 and NS*k a multiple of 8 (the
-    in-kernel [TP, NR, 128] -> [TP*NR, 128] reshape must be layout-free)."""
+    """Legacy window-row count (unused by the kernel; kept so stored
+    plans/tests that compute it keep working)."""
     ns = -(-(A + k - 1) // k)
     while (ns * k) % 8:
         ns += 1
     return ns
 
 
-def pack_level(vol_flat: jnp.ndarray, H2: int, W2: int, NS: int):
-    """[E, P1, H2*W2] -> [E, P1, S, 128] row-padded storage (zero pad)."""
+def pick_tp(P1: int, cap: int = 128) -> int:
+    """Pixel-tile size: the largest divisor of P1 <= cap (multiple of 8
+    when possible) so odd (TUM-like) plane sizes don't force one giant
+    block."""
+    best = P1
+    for tp in range(min(cap, P1), 0, -1):
+        if P1 % tp == 0:
+            best = tp
+            break
+    return best
+
+
+def pack_level(vol_flat: jnp.ndarray, H2: int, W2: int, NS: int = 0):
+    """[E, P1, H2*W2] -> [E, P1, S, 128] row-padded storage (zero pad).
+
+    ``NS`` is accepted for call-site compatibility and ignored: the
+    resolved-gather kernel reads whole planes, so S = ceil(H2 / k).
+    """
     E, P1, _ = vol_flat.shape
     W2p = pad_w2(W2)
     v = vol_flat.reshape(E, P1, H2, W2)
     if W2p != W2:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, W2p - W2)))
     k = 128 // W2p
-    S = max(-(-H2 // k), NS)
+    S = -(-H2 // k)
     pad_h = S * k - H2
     if pad_h:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
     return v.reshape(E, P1, S, 128), W2p
 
 
-def _window_kernel(s0s_ref, s0v_ref, pxd_ref, pyd_ref, vol_ref, out_ref,
-                   vol32_scr, slab_scr, *, NS, k, W2p, H2, W2, KP, do_slice):
+def _window_kernel(pxd_ref, pyd_ref, vol_ref, out_ref, *, k, W2p, H2, W2, S):
     TP = out_ref.shape[1]
-    NR = NS * k
-
-    if do_slice:
-        # dynamic sublane slices require fp32 tiling (bf16's 16-row tile
-        # breaks the Mosaic lowering) -> convert the block once, slice
-        # from the fp32 copy
-        vol32_scr[...] = vol_ref[0].astype(jnp.float32)
-
-        def body(p, _):
-            slab_scr[p] = vol32_scr[p, pl.ds(s0s_ref[0, p, 0], NS), :]
-            return 0
-        jax.lax.fori_loop(0, TP, body, 0)
-        slab = slab_scr[...]
-    else:
-        slab = vol_ref[0].astype(jnp.float32)
-
-    rep = pltpu.repeat(slab, k, 1)  # [TP, NR, 128] tiled: row j = slab[j % NS]
-
-    # row j of rep = stored row (j % NS); lane-group g = j // NS selects the
-    # h-subrow within the stored row: h(j) = k*(s0 + j % NS) + (j // NS).
-    jio = jax.lax.broadcasted_iota(jnp.int32, (TP, NR, 128), 1)
-    grp = jio // NS
+    V = vol_ref[0].astype(jnp.float32)  # [TP, S, 128]
 
     pxd = pxd_ref[0]  # [TP, 128]: tap x, duplicated halves
-    l128 = jax.lax.broadcasted_iota(jnp.int32, (TP, 128), 1)
-    corner1 = l128 >= 64
-    x1d = jnp.floor(pxd).astype(jnp.int32) + corner1.astype(jnp.int32)
-    xi = jnp.clip(x1d, 0, W2p - 1)
-    idx = grp * W2p + xi[:, None, :]
-    g = jnp.take_along_axis(
-        rep.reshape(TP * NR, 128), idx.reshape(TP * NR, 128), axis=-1
-    ).reshape(TP, NR, 128)
-
-    # bilinear x weights with CUDA boundary semantics: floor corner of the
-    # tap must be fully in bounds (both axes) else the tap is 0; the +1
-    # corner is zero-padded when it falls outside the real W2/H2 extent.
     pyd = pyd_ref[0]  # [TP, 64]
-    y1 = jnp.floor(pyd)
+
+    # bilinear weights with CUDA boundary semantics: the floor corner of a
+    # tap must be fully in bounds (both axes) else the tap is 0; +1
+    # corners falling outside the real W2/H2 extent are zero-padded
+    # (pad lanes hold zeros; the h extent is weight-gated).
     x1 = jnp.floor(pxd[:, :64])
+    y1 = jnp.floor(pyd)
     ok = ((x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)).astype(jnp.float32)
     frx = pxd[:, :64] - x1
+    fry = pyd - y1
     wx0 = (1.0 - frx) * ok
     wx1 = frx * ok * (x1 + 1 < W2)
-    gx = g[:, :, 0:64] * wx0[:, None, :] + g[:, :, 64:128] * wx1[:, None, :]
+    wy0 = 1.0 - fry
+    wy1 = fry * (y1 + 1 < H2)
 
-    # dense tent over the NR window rows (the y bilinear: nonzero only at
-    # floor(py) and floor(py)+1; rows outside the window are implicit 0)
-    h0 = (s0v_ref[0][:, 0:1] * k).astype(jnp.float32)  # [TP, 1]
-    ty = pyd - h0  # [TP, 64]
-    jio64 = jax.lax.broadcasted_iota(jnp.int32, (TP, NR, 64), 1)
-    hr = (k * (jio64 % NS) + jio64 // NS).astype(jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty[:, None, :] - hr))
-    out_ref[0] = jnp.sum(wy * gx, axis=1)
+    # lane index of both x-corners (lanes [0:64) floor, [64:128) +1)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (TP, 128), 1)
+    corner1 = (l128 >= 64).astype(jnp.int32)
+    x1d = jnp.floor(pxd).astype(jnp.int32) + corner1
+    xi = jnp.clip(x1d, 0, W2p - 1)
+
+    y1i = jnp.floor(pyd).astype(jnp.int32)
+
+    def corner_acc(hrow):
+        """hrow [TP, 64] int target row -> gathered values [TP, 128]
+        (both x-corners), selecting stored row h//k by masked sum."""
+        h = jnp.clip(hrow, 0, S * k - 1)
+        hd = jnp.concatenate([h, h], axis=-1)  # [TP, 128]
+        s_t = hd // k
+        idx = (hd - s_t * k) * W2p + xi
+        acc = jnp.zeros((TP, 128), jnp.float32)
+        for s in range(S):
+            g = jnp.take_along_axis(V[:, s, :], idx, axis=-1)
+            acc = acc + g * (s_t == s)
+        return acc
+
+    a0 = corner_acc(y1i)
+    a1 = corner_acc(y1i + 1)
+    out_ref[0] = (
+        wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
+        + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
+    )
 
 
 @functools.partial(
@@ -161,7 +174,7 @@ def window_lookup_packed(
     H2: int,
     W2: int,
     W2p: int,
-    NS: int,
+    NS: int = 0,
     interpret: bool = False,
     tile_p: int = 128,
 ):
@@ -169,25 +182,15 @@ def window_lookup_packed(
 
     vol4: [E, P1, S, 128] (from :func:`pack_level`); px/py: [E, P1, K]
     absolute tap positions in level pixels.  Returns [E, P1, K] float32.
-    All K tap positions of a pixel must lie within an ``NS*k - k + 1``-row
-    window in h (guaranteed by radius + bounded learned offsets).
+    ``NS`` is ignored (API compatibility).
     """
     E, P1, S, _ = vol4.shape
     K = px.shape[-1]
     if K > 64:
         raise ValueError("at most 64 taps per kernel call")
     k = 128 // W2p
-    NR = NS * k
 
-    TP = tile_p if P1 % tile_p == 0 else P1
-    fy = jnp.floor(py).astype(jnp.int32)
-    # window start: rows [k*s0, k*s0 + NR) must contain every tap's floor
-    # corner and its +1 neighbour.  The taps of one pixel span at most
-    # NR - k + 1 rows (radius + bounded offsets), so anchoring at the
-    # minimum corner suffices; clips keep the slice in the stored rows
-    # (valid taps stay covered — see kernel docstring).
-    fy_min = jnp.min(fy, axis=-1)  # [E, P1]
-    s0 = jnp.clip(fy_min // k, 0, S - NS).astype(jnp.int32)
+    TP = tile_p if P1 % tile_p == 0 else pick_tp(P1, tile_p)
 
     pad64 = jnp.zeros(px.shape[:2] + (64 - K,), px.dtype)
     px64 = jnp.concatenate([px, pad64], axis=-1)
@@ -195,28 +198,20 @@ def window_lookup_packed(
     pxd = jnp.concatenate([px64, px64], axis=-1)  # [E, P1, 128]
 
     kern = functools.partial(
-        _window_kernel, NS=NS, k=k, W2p=W2p, H2=H2, W2=W2, KP=64,
-        do_slice=(S != NS),
+        _window_kernel, k=k, W2p=W2p, H2=H2, W2=W2, S=S,
     )
     out = pl.pallas_call(
         kern,
         grid=(E, P1 // TP),
         in_specs=[
-            pl.BlockSpec((1, TP, 1), lambda e, p: (e, p, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TP, 1), lambda e, p: (e, p, 0)),
             pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
             pl.BlockSpec((1, TP, 64), lambda e, p: (e, p, 0)),
             pl.BlockSpec((1, TP, S, 128), lambda e, p: (e, p, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TP, 64), lambda e, p: (e, p, 0)),
         out_shape=jax.ShapeDtypeStruct((E, P1, 64), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TP, S, 128), jnp.float32),
-            pltpu.VMEM((TP, NS, 128), jnp.float32),
-        ],
         interpret=interpret,
-    )(s0[..., None], s0[..., None], pxd, py64, vol4)
+    )(pxd, py64, vol4)
     return out[..., :K]
 
 
@@ -262,7 +257,7 @@ def dense_lookup_packed(
     """
     E, P1, S, _ = vol4.shape
     K = px.shape[-1]
-    TP = tile_p if P1 % tile_p == 0 else P1
+    TP = tile_p if P1 % tile_p == 0 else pick_tp(P1, tile_p)
     kern = functools.partial(
         _dense_kernel, H2=H2, W2=W2, W2p=W2p, S=S, KP=K
     )

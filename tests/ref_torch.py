@@ -30,16 +30,152 @@ def _stub(name):
     return sys.modules[name]
 
 
+def _np_of(t):
+    import numpy as np
+
+    return np.asarray(t.detach().cpu().numpy(), np.float32)
+
+
+def _torch_of(a):
+    import numpy as np
+    import torch
+
+    return torch.from_numpy(np.asarray(a).copy())
+
+
+def _make_se3_shim():
+    """Minimal lietorch.SE3 stand-in backed by our (independently
+    Jacobian-verified) pure-JAX quaternion SE(3) ops, for running the
+    reference's CUDA-free training path on CPU.  Covers exactly the API
+    surface used by droid_slam/geom/{projective_ops,ba}.py and
+    droid_net.py: indexing, composition, inverse, 4-vec action, adjT,
+    retr, detach, .data."""
+    from lgu_slam_tpu import lie
+
+    class SE3:
+        manifold_dim = 6
+
+        def __init__(self, data):
+            self.data = data  # torch [..., 7] = (t, q xyzw)
+
+        @classmethod
+        def InitFromVec(cls, data):
+            return cls(data)
+
+        @property
+        def shape(self):
+            return self.data.shape[:-1]
+
+        def __getitem__(self, idx):
+            return SE3(self.data[idx])
+
+        def inv(self):
+            return SE3(_torch_of(lie.se3_inv(_np_of(self.data))))
+
+        def __mul__(self, other):
+            if isinstance(other, SE3):
+                return SE3(_torch_of(
+                    lie.se3_mul(_np_of(self.data), _np_of(other.data))
+                ))
+            # action on homogeneous (X, Y, Z, D) points / Jacobian columns
+            return _torch_of(
+                lie.se3_act4(_np_of(self.data), _np_of(other))
+            )
+
+        def adjT(self, a):
+            return _torch_of(
+                lie.se3_adjT_apply(_np_of(self.data), _np_of(a))
+            )
+
+        def retr(self, dx):
+            return SE3(_torch_of(
+                lie.se3_retr(_np_of(self.data), _np_of(dx))
+            ))
+
+        def detach(self):
+            return SE3(self.data.detach())
+
+    return SE3
+
+
+def _install_pure_kernels(mod):
+    """Fill the ``defCorrSample`` extension stub with CPU implementations
+    backed by our JAX ops (themselves oracle-tested against the CUDA
+    semantics in tests/test_sampler.py) so the reference's CorrBlock and
+    GaussianMask forward paths run without the CUDA build.  Layouts follow
+    the extension's conventions: volume [B, H1, W1, H2, W2], coords
+    [B, 2, H1, W1], outputs [B, rd, rd, H1, W1]."""
+    if getattr(mod, "_pure_kernels", False):
+        return
+    import jax.numpy as jnp
+
+    from lgu_slam_tpu.ops import sampler as S
+
+    def _coords(coords):
+        return jnp.asarray(_np_of(coords.permute(0, 2, 3, 1)))
+
+    def corr_index_forward(volume, coords, radius):
+        out = S.corr_index(jnp.asarray(_np_of(volume)), _coords(coords),
+                           radius)
+        rd = 2 * radius + 1
+        b, _, h1, w1 = out.shape
+        return (_torch_of(out).view(b, rd, rd, h1, w1),)
+
+    def defCorr_index_forward(volume, coords, offset, radius):
+        out = S.defcorr_index(
+            jnp.asarray(_np_of(volume)), _coords(coords),
+            jnp.asarray(_np_of(offset)), radius,
+        )
+        rd = 2 * radius + 1
+        b, _, h1, w1 = out.shape
+        return (_torch_of(out).view(b, rd, rd, h1, w1),)
+
+    def gaussianMask(mean, cov, corr, radius):
+        out = S.gaussian_window_mask(
+            jnp.asarray(_np_of(corr)), jnp.asarray(_np_of(mean)),
+            jnp.asarray(_np_of(cov)), radius,
+        )
+        return (_torch_of(out),)
+
+    mod.corr_index_forward = corr_index_forward
+    mod.defCorr_index_forward = defCorr_index_forward
+    mod.gaussianMask = gaussianMask
+    mod._pure_kernels = True
+
+
+def _patch_as_tensor(torch):
+    """projective_ops.py:108 constructs a tensor with a hardcoded
+    ``device="cuda"`` on every call (even with no stereo edges); on a
+    CUDA-less test host, map it to CPU."""
+    if getattr(torch.as_tensor, "_cpu_patched", False):
+        return
+    orig = torch.as_tensor
+
+    def as_tensor(data, dtype=None, device=None):
+        if (isinstance(device, str) and device.startswith("cuda")
+                and not torch.cuda.is_available()):
+            device = None
+        return orig(data, dtype=dtype, device=device)
+
+    as_tensor._cpu_patched = True
+    torch.as_tensor = as_tensor
+
+
 def import_reference():
     """Import and return the reference droid_slam modules (torch, CPU)."""
     import torch
 
-    _stub("defCorrSample")
+    _patch_as_tensor(torch)
+    _install_pure_kernels(_stub("defCorrSample"))
     _stub("droid_backends")
     lietorch = _stub("lietorch")
-    if not hasattr(lietorch, "SE3"):
-        lietorch.SE3 = object  # never constructed by the tested paths
-        lietorch.Sim3 = object
+    if not hasattr(lietorch, "SE3") or lietorch.SE3 is object:
+        lietorch.SE3 = _make_se3_shim()
+
+        class _Sim3Unused:  # isinstance probe only (projective_ops.py:86)
+            pass
+
+        lietorch.Sim3 = _Sim3Unused
 
     ts = _stub("torch_scatter")
     if not hasattr(ts, "scatter_mean"):

@@ -227,3 +227,44 @@ def test_patch_sampler_matches_gather(rng):
     )(coords, off)
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+def test_alt_corr_volume_strategy_matches_fused(rng):
+    """The TPU backend strategy (_alt_corr_lookup_volume: per-sub-chunk MXU
+    level volumes + packed Pallas lookups, interpret mode here) must equal
+    the fused-tap oracle path of alt_corr_lookup across the full 4-level
+    output, including the variance gate and center-tap zeroing."""
+    from lgu_slam_tpu.models.corr import (
+        _alt_corr_lookup_volume,
+        alt_corr_lookup,
+        build_fmap_pyramid,
+    )
+
+    N, H, W, C = 5, 12, 16, 32
+    E = 4
+    fmaps = jnp.asarray(rng.normal(size=(N, H, W, C)), jnp.float32)
+    pyr = build_fmap_pyramid(fmaps)
+    ii = jnp.asarray([0, 2, 4, 1], jnp.int32)
+    jj = jnp.asarray([1, 0, 3, 4], jnp.int32)
+    coords = jnp.asarray(
+        rng.uniform(-1, 1.1, size=(E, H, W, 2))
+        * np.asarray([W, H], np.float32),
+        jnp.float32,
+    )
+
+    # stand-in conv heads (random linear maps), shapes as the real FPN
+    k0 = jnp.asarray(rng.normal(size=(2 * C, 98)) * 0.2, jnp.float32)
+    k1 = jnp.asarray(rng.normal(size=(2 * C, 98)) * 0.2, jnp.float32)
+    ofs_map = lambda t: t @ k0  # noqa: E731
+    ofs_res = lambda t: t @ k1  # noqa: E731
+
+    ref = alt_corr_lookup(
+        pyr, ii, jj, coords, ofs_map, ofs_res, use_volume=False
+    )
+    out = _alt_corr_lookup_volume(
+        pyr, ii, jj, coords, ofs_map, ofs_res,
+        volume_dtype=jnp.float32, sub_chunk=2, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-4
+    )
