@@ -51,10 +51,16 @@ class CorrPyramid(NamedTuple):
     def level_dims(self):
         h, w = self.offsets[0].shape[1:3]
         dims = []
-        for _ in range(len(self.levels)):
+        for _ in range(NUM_LEVELS):
             dims.append((h, w))
             h, w = h // 2, w // 2
         return dims
+
+    @property
+    def is_packed(self):
+        """True when levels hold the single fused-lookup tensor
+        [E, P1, S_tot, 128] instead of NUM_LEVELS flat planes."""
+        return len(self.levels) == 1 and self.levels[0].ndim == 4
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -212,20 +218,12 @@ def build_corr_pyramid(
     if pack is None:
         pack = use_pallas  # inference on TPU; training passes pack=False
     if pack:
-        # pack levels row-padded [E, P1, S, 128] for the Pallas window
-        # lookup (paid once per pyramid build, amortized over the 8/16
-        # GRU iterations that look it up)
-        from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
-            level_layout, pack_level,
-        )
+        # pack all levels into ONE row-padded [E, P1, S_tot, 128] tensor
+        # for the fused Pallas pyramid lookup (paid once per pyramid
+        # build, amortized over the 8/16 GRU iterations that look it up)
+        from lgu_slam_tpu.ops.pallas_lookup import pack_pyramid  # noqa: PLC0415
 
-        packed = []
-        hh, ww = H, W
-        for i, lvl in enumerate(levels):
-            W2p, NS = level_layout(ww, i)
-            packed.append(pack_level(lvl, hh, ww, NS)[0])
-            hh, ww = hh // 2, ww // 2
-        levels = packed
+        levels = [pack_pyramid(levels, H, W)]
 
     return CorrPyramid(tuple(levels), (off0, off1), mean, 2.0 * det)
 
@@ -263,67 +261,50 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     Returns [E, H, W, 196] correlation features.
 
     Two equivalent execution paths selected by the pyramid storage layout:
-    packed 4D levels (built on TPU) run the Pallas window kernel
-    (ops/pallas_lookup.py — dynamic-gather based, forward-only); flat 3D
-    levels (CPU, training) run the differentiable patch formulation
-    (ops/sampler.py).
+    a packed whole-pyramid tensor (built on TPU) runs the single fused
+    Pallas kernel (ops/pallas_lookup.py — probe + gate + 4 levels in one
+    launch, forward-only); flat 3D levels (CPU, training) run the
+    differentiable patch formulation (ops/sampler.py).
     """
     E, H, W, _ = coords.shape
     P1 = H * W
     dims = pyr.level_dims()
     cflat = coords.reshape(E, P1, 2)
-    packed = pyr.levels[0].ndim == 4
+    rd = 2 * RADIUS + 1
+    off0 = pyr.offsets[0].reshape(E, P1, rd, rd, 2)
+    off1 = pyr.offsets[1].reshape(E, P1, rd, rd, 2)
 
-    def level_taps(i, offs):
-        return _tap_positions(cflat / (2.0 ** i), offs, RADIUS)
+    if pyr.is_packed:
+        from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
+            fused_pyramid_lookup,
+        )
+
+        feats = fused_pyramid_lookup(
+            pyr.levels[0], cflat, off0, off1, H, W
+        )
+        return feats.reshape(E, H, W, 196)
+
+    from lgu_slam_tpu.ops.sampler import sample_taps_patch_flat  # noqa: PLC0415
 
     # level-1 variance gate of the deformable offsets (corr.py:94-99)
     h1, w1 = dims[1]
     ppx, ppy = _tap_positions(cflat / 2.0, None, 1)
-    if packed:
-        from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
-            pad_w2, pick_ns, window_lookup_packed,
-        )
-
-        probe = window_lookup_packed(
-            pyr.levels[1], ppx, ppy, h1, w1, pad_w2(w1), pick_ns(4, 128 // pad_w2(w1))
-        )
-    else:
-        from lgu_slam_tpu.ops.sampler import sample_taps_patch_flat  # noqa: PLC0415
-
-        probe = sample_taps_patch_flat(
-            pyr.levels[1], h1, w1, cflat / 2.0, ppx, ppy, 1
-        )
+    probe = sample_taps_patch_flat(
+        pyr.levels[1], h1, w1, cflat / 2.0, ppx, ppy, 1
+    )
     var = jnp.var(probe, axis=-1, ddof=1)  # torch.var is unbiased
     gate = jax.nn.sigmoid(var)[..., None, None, None]  # [E, P1, 1,1,1]
 
-    rd = 2 * RADIUS + 1
-    off0 = pyr.offsets[0].reshape(E, P1, rd, rd, 2)
-    off1 = pyr.offsets[1].reshape(E, P1, rd, rd, 2)
     offs = (off0, off1 * gate, None, None)
 
     out = []
     for i in range(NUM_LEVELS):
         hh, ww = dims[i]
-        px, py = level_taps(i, offs[i])
-        if packed:
-            from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
-                level_layout, window_lookup_packed,
-            )
-
-            W2p, NS = level_layout(ww, i)
-            c = window_lookup_packed(
-                pyr.levels[i], px, py, hh, ww, W2p, NS
-            )
-        else:
-            from lgu_slam_tpu.ops.sampler import (  # noqa: PLC0415
-                sample_taps_patch_flat,
-            )
-
-            R = RADIUS + (4 if i < 2 else 0)
-            c = sample_taps_patch_flat(
-                pyr.levels[i], hh, ww, cflat / (2.0 ** i), px, py, R
-            )
+        px, py = _tap_positions(cflat / (2.0 ** i), offs[i], RADIUS)
+        R = RADIUS + (4 if i < 2 else 0)
+        c = sample_taps_patch_flat(
+            pyr.levels[i], hh, ww, cflat / (2.0 ** i), px, py, R
+        )
         out.append(c)  # [E, P1, 49]
     feats = jnp.concatenate(out, axis=-1)  # [E, P1, 196]
     return feats.reshape(E, H, W, 196)
@@ -490,7 +471,7 @@ def _alt_corr_lookup_volume(
 ) -> jnp.ndarray:
     """TPU strategy for :func:`alt_corr_lookup` (see its docstring)."""
     from lgu_slam_tpu.ops.pallas_lookup import (  # noqa: PLC0415
-        level_layout, pack_level, window_lookup_packed,
+        fused_pyramid_lookup, pack_pyramid,
     )
 
     E = ii.shape[0]
@@ -501,10 +482,6 @@ def _alt_corr_lookup_volume(
     f1 = fmap_pyr[0][ii]  # [E, H, W, C] (/4)
     t = jnp.concatenate([f1 * 4.0, fmap_pyr[0][jj] * 4.0], axis=-1)
     off0, off1 = fpn_offsets(ofs_map_fn, ofs_residual_fn, t)
-    # center tap forced to zero (lowMem_defSample.cu; value semantics — the
-    # backend path runs without gradients)
-    off0 = off0.at[..., RADIUS, RADIUS, :].set(0.0)
-    off1 = off1.at[..., RADIUS, RADIUS, :].set(0.0)
 
     SC = sub_chunk
     while E % SC:
@@ -520,42 +497,20 @@ def _alt_corr_lookup_volume(
         def level_volume(lvl):
             h2, w2 = dims[lvl]
             f2 = fmap_pyr[lvl][jg].reshape(SC, h2 * w2, -1)
-            vol = jnp.einsum(
+            return jnp.einsum(
                 "epc,eqc->epq", f1f, f2,
                 preferred_element_type=jnp.float32,
             ).astype(volume_dtype)
-            W2p, NS = level_layout(w2, lvl)
-            packed, _ = pack_level(vol, h2, w2, NS)
-            return packed, (h2, w2, W2p, NS)
 
-        vols = [level_volume(lvl) for lvl in range(NUM_LEVELS)]
-
-        # level-1 variance gate: plain 3x3 probe, no offsets
-        h1, w1 = dims[1]
-        ppx, ppy = _tap_positions(cg / 2.0, None, 1)
-        packed1, (_, _, W2p1, NS1) = vols[1]
-        probe = window_lookup_packed(
-            packed1, ppx, ppy, h1, w1, W2p1, NS1, interpret=interpret
+        packed = pack_pyramid(
+            [level_volume(lvl) for lvl in range(NUM_LEVELS)], H, W
         )
-        var = jnp.var(probe, axis=-1, ddof=1)
-        gate = jax.nn.sigmoid(var)[..., None, None, None]  # [SC, P1, 1,1,1]
-
-        offs = (
+        return fused_pyramid_lookup(
+            packed, cg,
             o0g.reshape(SC, P1, rd, rd, 2),
-            o1g.reshape(SC, P1, rd, rd, 2) * gate,
-            None,
-            None,
-        )
-        out = []
-        for lvl in range(NUM_LEVELS):
-            packed, (h2, w2, W2p, NS) = vols[lvl]
-            px, py = _tap_positions(cg / (2.0 ** lvl), offs[lvl], RADIUS)
-            out.append(
-                window_lookup_packed(
-                    packed, px, py, h2, w2, W2p, NS, interpret=interpret
-                )
-            )
-        return jnp.concatenate(out, axis=-1)  # [SC, P1, 196]
+            o1g.reshape(SC, P1, rd, rd, 2),
+            H, W, interpret=interpret,
+        )  # [SC, P1, 196]
 
     feats = jax.lax.map(
         group,

@@ -273,3 +273,215 @@ def dense_lookup_packed(
         out_shape=jax.ShapeDtypeStruct((E, P1, K), jnp.float32),
         interpret=interpret,
     )(px, py, vol4)
+
+
+# ---------------------------------------------------------------------------
+# fused whole-pyramid lookup: 4 levels + variance probe + gate in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The per-level kernel above is dominated by per-block fixed costs (DMA
+# latency + grid stepping: a level with S=1 still measured ~2.5 us/block,
+# and one frontend iteration issues 5 kernels x E*P1/TP blocks).  Fusing
+# the probe, the variance gate, and all four level lookups into one kernel
+# over one packed [E, P1, S_tot, 128] tensor cuts the block count 5x and
+# reads each pixel's volume rows exactly once.
+
+RD = 2 * RADIUS + 1  # 7
+NUM_LEVELS = 4
+
+
+def pyramid_meta(H: int, W: int):
+    """Static layout of the packed whole-pyramid tensor for a base plane
+    (H, W): per level (H2, W2, W2p, k, S, s_off) plus total rows."""
+    meta = []
+    h2, w2 = H, W
+    s_off = 0
+    for _ in range(NUM_LEVELS):
+        W2p = pad_w2(w2)
+        k = 128 // W2p
+        S = -(-h2 // k)
+        meta.append((h2, w2, W2p, k, S, s_off))
+        s_off += S
+        h2, w2 = h2 // 2, w2 // 2
+    return tuple(meta), s_off
+
+
+def pack_pyramid(levels_flat, H: int, W: int):
+    """Per-level flat volumes [E, P1, H2*W2] -> one packed
+    [E, P1, S_tot, 128] tensor (zero padding), matching pyramid_meta."""
+    meta, _ = pyramid_meta(H, W)
+    packed = []
+    for lvl, vol in enumerate(levels_flat):
+        h2, w2 = meta[lvl][0], meta[lvl][1]
+        packed.append(pack_level(vol, h2, w2)[0])
+    return jnp.concatenate(packed, axis=2)
+
+
+def pack_offsets(off: jnp.ndarray) -> jnp.ndarray:
+    """[E, P1, rd, rd, 2] tap offsets -> [E, P1, 128] lane-packed
+    (x offsets in lanes [0:49), y offsets in lanes [64:113))."""
+    E, P1 = off.shape[:2]
+    o = off.reshape(E, P1, RD * RD, 2)
+    pad = jnp.zeros((E, P1, 64 - RD * RD), off.dtype)
+    return jnp.concatenate([o[..., 0], pad, o[..., 1], pad], axis=-1)
+
+
+def _corner_acc(V, s_base, S, k, W2p, hrow, xi):
+    """Gather both x-corners for target rows ``hrow`` [TP, 64] within one
+    level's rows of the packed block V [TP, S_tot, 128]."""
+    TP = hrow.shape[0]
+    h = jnp.clip(hrow, 0, S * k - 1)
+    hd = jnp.concatenate([h, h], axis=-1)  # [TP, 128]
+    s_t = hd // k
+    idx = (hd - s_t * k) * W2p + xi
+    acc = jnp.zeros((TP, 128), jnp.float32)
+    for s in range(S):
+        g = jnp.take_along_axis(
+            V[:, s_base + s, :].astype(jnp.float32), idx, axis=-1
+        )
+        acc = acc + g * (s_t == s)
+    return acc
+
+
+def _bilinear_level(V, meta_l, px_d, py):
+    """Full bilinear window lookup at one level of the packed block.
+
+    px_d [TP, 128] (x positions, dup halves = the two x-corners),
+    py [TP, 64].  Returns [TP, 64] float32 (CUDA boundary semantics).
+    """
+    H2, W2, W2p, k, S, s_off = meta_l
+    TP = py.shape[0]
+    x1 = jnp.floor(px_d[:, :64])
+    y1 = jnp.floor(py)
+    ok = ((x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)).astype(jnp.float32)
+    frx = px_d[:, :64] - x1
+    fry = py - y1
+    wx0 = (1.0 - frx) * ok
+    wx1 = frx * ok * (x1 + 1 < W2)
+    wy0 = 1.0 - fry
+    wy1 = fry * (y1 + 1 < H2)
+
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (TP, 128), 1)
+    corner1 = (l128 >= 64).astype(jnp.int32)
+    xi = jnp.clip(jnp.floor(px_d).astype(jnp.int32) + corner1, 0, W2p - 1)
+    y1i = jnp.floor(py).astype(jnp.int32)
+
+    a0 = _corner_acc(V, s_off, S, k, W2p, y1i, xi)
+    a1 = _corner_acc(V, s_off, S, k, W2p, y1i + 1, xi)
+    return (
+        wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
+        + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
+    )
+
+
+def _fused_kernel(cxy_ref, off0_ref, off1_ref, vol_ref,
+                  out0_ref, out1_ref, out2_ref, out3_ref, *, meta):
+    TP = out0_ref.shape[1]
+    V = vol_ref[0]  # [TP, S_tot, 128]
+    cxy = cxy_ref[0]  # [TP, 128] (lane 0 = x, lane 1 = y)
+    cx = cxy[:, 0:1]
+    cy = cxy[:, 1:2]
+
+    # tap deltas on 64 lanes (x-major channel order i*rd+j).  NB: Mosaic
+    # miscompiles lane-slices of computed 128-lane iota expressions — keep
+    # all tap-index math 64-lane wide and duplicate via concat.
+    l64 = jax.lax.broadcasted_iota(jnp.int32, (TP, 64), 1)
+    live = (l64 < RD * RD).astype(jnp.float32)
+    dx = ((l64 // RD) - RADIUS).astype(jnp.float32) * live
+    dy = ((l64 % RD) - RADIUS).astype(jnp.float32) * live
+
+    def tap_positions(off_pk, scale, gate):
+        """Packed offsets [TP, 128] -> (px_d [TP, 128], py [TP, 64]) with
+        gate multiply, center-tap zeroing and clip (models/corr.py
+        _tap_positions semantics)."""
+        ox = off_pk[:, :64]
+        oy = off_pk[:, 64:]
+        if gate is not None:
+            ox = ox * gate
+            oy = oy * gate
+        notc = (l64 != (RADIUS * RD + RADIUS)).astype(jnp.float32)
+        ox = jnp.clip(ox * notc, -4.0, 4.0)
+        oy = jnp.clip(oy * notc, -4.0, 4.0)
+        px = cx * scale + ox + dx
+        py = cy * scale + oy + dy
+        return jnp.concatenate([px, px], axis=-1), py
+
+    # variance probe: radius-1 plain window at level 1 (corr.py:94-99)
+    livep = (l64 < 9).astype(jnp.float32)
+    dxp = ((l64 // 3) - 1).astype(jnp.float32) * livep
+    dyp = ((l64 % 3) - 1).astype(jnp.float32) * livep
+    pxp = cx * 0.5 + dxp
+    probe = _bilinear_level(
+        V, meta[1], jnp.concatenate([pxp, pxp], axis=-1), cy * 0.5 + dyp
+    )
+    m = jnp.sum(probe[:, :9], axis=-1, keepdims=True) / 9.0
+    var = jnp.sum((probe[:, :9] - m) ** 2, axis=-1, keepdims=True) / 8.0
+    gate = jax.nn.sigmoid(var)  # [TP, 1]
+
+    o0 = off0_ref[0]
+    o1 = off1_ref[0]
+    px0, py0 = tap_positions(o0, 1.0, None)
+    px1, py1 = tap_positions(o1, 0.5, gate)
+    out0_ref[0] = _bilinear_level(V, meta[0], px0, py0)
+    out1_ref[0] = _bilinear_level(V, meta[1], px1, py1)
+    for lvl, oref in ((2, out2_ref), (3, out3_ref)):
+        scale = 0.5 ** lvl
+        px = cx * scale + dx
+        py = cy * scale + dy
+        oref[0] = _bilinear_level(
+            V, meta[lvl], jnp.concatenate([px, px], axis=-1), py
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "interpret", "tile_p")
+)
+def fused_pyramid_lookup(
+    vol: jnp.ndarray,
+    cflat: jnp.ndarray,
+    off0: jnp.ndarray,
+    off1: jnp.ndarray,
+    H: int,
+    W: int,
+    interpret: bool = False,
+    tile_p: int = 128,
+):
+    """One-kernel deformable pyramid lookup (corr.py:88-109 semantics).
+
+    vol: [E, P1, S_tot, 128] (from :func:`pack_pyramid`); cflat: [E, P1, 2]
+    base coords in level-0 pixels; off0/off1: [E, P1, rd, rd, 2] learned
+    offsets for levels 0/1 (pre-gate).  The radius-1 level-1 variance
+    probe, sigmoid gate, center-tap zeroing, clip, and all four level
+    lookups run inside the kernel.  Returns [E, P1, 4*49] float32 ordered
+    level-major (tap channel i*rd+j, x-major), matching the chained
+    CorrSampler outputs.
+    """
+    E, P1 = cflat.shape[:2]
+    meta, S_tot = pyramid_meta(H, W)
+    assert vol.shape[2] == S_tot, (vol.shape, S_tot)
+    TP = tile_p if P1 % tile_p == 0 else pick_tp(P1, tile_p)
+
+    cxy = jnp.concatenate(
+        [cflat, jnp.zeros((E, P1, 126), cflat.dtype)], axis=-1
+    )
+    o0 = pack_offsets(off0)
+    o1 = pack_offsets(off1)
+
+    kern = functools.partial(_fused_kernel, meta=meta)
+    ospec = pl.BlockSpec((1, TP, 64), lambda e, p: (e, p, 0))
+    oshape = jax.ShapeDtypeStruct((E, P1, 64), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(E, P1 // TP),
+        in_specs=[
+            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
+            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
+            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
+            pl.BlockSpec((1, TP, S_tot, 128), lambda e, p: (e, p, 0, 0)),
+        ],
+        out_specs=[ospec] * 4,
+        out_shape=[oshape] * 4,
+        interpret=interpret,
+    )(cxy, o0, o1, vol)
+    K = RD * RD
+    return jnp.concatenate([o[..., :K] for o in outs], axis=-1)

@@ -25,6 +25,43 @@ def load_params(path):
         return pickle.load(f)["params"]
 
 
+def save_train_state(path, params, opt_state, step, rng_state=None):
+    """Full training checkpoint: params + optimizer state + step counter +
+    host RNG state, so a killed run resumes exactly (including the
+    OneCycle schedule position, which lives in the optax counter inside
+    ``opt_state``).  The reference saves params only (train.py:181-184)
+    and cannot resume its schedule.
+    """
+    import jax  # noqa: PLC0415
+
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "step": int(step),
+                "rng_state": rng_state,
+            },
+            f,
+        )
+
+
+def load_train_state(path):
+    """Returns (params, opt_state | None, step, rng_state | None).
+
+    Accepts both full training checkpoints and legacy params-only ones
+    (``{"params": ...}``).
+    """
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return (
+        d["params"],
+        d.get("opt_state"),
+        int(d.get("step", 0)),
+        d.get("rng_state"),
+    )
+
+
 def _conv(w, b=None):
     """torch OIHW -> flax HWIO."""
     out = {"kernel": np.transpose(np.asarray(w), (2, 3, 1, 0))}

@@ -56,20 +56,33 @@ def main():
         ckpt_every=args.ckpt_every,
     )
 
+    from lgu_slam_tpu.utils.checkpoint import (
+        load_train_state, save_train_state,
+    )
+
     net, params = init_params(SLAMConfig(image_size=tcfg.image_size))
+    total = 0
+    restored_opt = None
+    restored_rng = None
     if args.ckpt:
-        with open(args.ckpt, "rb") as f:
-            params = pickle.load(f)["params"]
+        params, restored_opt, total, restored_rng = load_train_state(
+            args.ckpt
+        )
 
     tx = make_optimizer(tcfg)
     mesh = make_data_mesh()
     params = replicate(params, mesh)
-    opt_state = tx.init(params)
+    opt_state = (
+        replicate(restored_opt, mesh) if restored_opt is not None
+        else tx.init(params)
+    )
 
     db = dataset_factory(["tartan"], args.datapath, n_frames=tcfg.n_frames,
                          fmin=tcfg.fmin, fmax=tcfg.fmax)
     aug = RGBDAugmentor(crop_size=tcfg.image_size)
     rng = np.random.default_rng(0)
+    if restored_rng is not None:
+        rng.bit_generator.state = restored_rng
 
     # fixed chain graph (train.py:120-122; covisibility rebuild happens in
     # the dataset's clip sampling)
@@ -85,7 +98,6 @@ def main():
     logger = Logger(args.name)
     os.makedirs("checkpoints", exist_ok=True)
 
-    total = 0
     while total < tcfg.steps:
         idx = rng.integers(0, len(db), size=tcfg.batch)
         items = [aug(*db[int(i)]) for i in idx]
@@ -117,8 +129,8 @@ def main():
 
         if total % tcfg.ckpt_every == 0:
             path = f"checkpoints/{args.name}_{total:06d}.pkl"
-            with open(path, "wb") as f:
-                pickle.dump({"params": jax.device_get(params)}, f)
+            save_train_state(path, params, opt_state, total,
+                             rng.bit_generator.state)
             print("saved", path)
 
 

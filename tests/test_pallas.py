@@ -106,3 +106,55 @@ def test_window_lookup_kernel_matches_oracle(rng):
     check(6, 8, 3, 0, dense=True)  # level 3 dense variant
     check(24, 32, 1, 0)          # variance probe
     check(13, 17, 3, 4)          # odd (TUM-like) sizes
+
+
+def test_fused_pyramid_lookup_matches_flat_path(rng):
+    """One-kernel fused lookup (probe + gate + 4 levels, interpret mode)
+    == the differentiable flat-path corr_lookup across geometries."""
+    from lgu_slam_tpu.models.corr import CorrPyramid, corr_lookup
+    from lgu_slam_tpu.ops.pallas_lookup import (
+        fused_pyramid_lookup,
+        pack_pyramid,
+    )
+
+    def check(H, W, E=2):
+        P1 = H * W
+        dims = []
+        h2, w2 = H, W
+        for _ in range(4):
+            dims.append((h2, w2))
+            h2, w2 = h2 // 2, w2 // 2
+        levels = [
+            jnp.asarray(rng.normal(size=(E, P1, a * b)), jnp.float32)
+            for a, b in dims
+        ]
+        off0 = jnp.asarray(
+            rng.uniform(-4, 4, size=(E, H, W, 7, 7, 2)), jnp.float32
+        )
+        off1 = jnp.asarray(
+            rng.uniform(-4, 4, size=(E, H, W, 7, 7, 2)), jnp.float32
+        )
+        mean = jnp.zeros((E, H, W, 2), jnp.float32)
+        theta = jnp.ones((E, H, W), jnp.float32)
+        coords = jnp.asarray(
+            rng.uniform(-0.2, 1.2, size=(E, H, W, 2))
+            * np.asarray([W, H], np.float32),
+            jnp.float32,
+        )
+
+        pyr = CorrPyramid(tuple(levels), (off0, off1), mean, theta)
+        ref = corr_lookup(pyr, coords)  # flat differentiable path
+
+        packed = pack_pyramid(levels, H, W)
+        out = fused_pyramid_lookup(
+            packed, coords.reshape(E, P1, 2),
+            off0.reshape(E, P1, 7, 7, 2), off1.reshape(E, P1, 7, 7, 2),
+            H, W, interpret=True, tile_p=8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(E, H, W, 196), np.asarray(ref),
+            atol=2e-4, err_msg=f"H={H} W={W}",
+        )
+
+    check(16, 16)
+    check(12, 24)   # odd halving chain + padding
