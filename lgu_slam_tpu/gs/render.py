@@ -251,27 +251,28 @@ def render_gaussians(
 
 def render_rgbd(params, alive, w2c_rot, w2c_trans, intr, img_size,
                 **kw):
-    """Render RGB + (depth, silhouette, depth^2) like the reference's two
-    rasterizer calls (loss.py:48-58)."""
+    """Render RGB + (depth, silhouette, depth^2) — the reference runs the
+    rasterizer twice with identical geometry (loss.py:48-58, one call for
+    RGB and one for the depth/silhouette pseudo-colors); here both render
+    as ONE 5-channel pass so the projection, tile binning, key sort, and
+    compositing weights are computed once."""
     means = params["means3D"]
     quats = params["unnorm_rotations"]
     scales = jnp.exp(jnp.tile(params["log_scales"], (1, 3)))
     ops = jax.nn.sigmoid(params["logit_opacities"][:, 0])
     rgb = params["rgb_colors"]
 
-    img, acc, dep = render_gaussians(
-        means, quats, scales, ops, rgb, alive, w2c_rot, w2c_trans, intr,
-        img_size=img_size, channels=3, **kw,
-    )
-    # depth + depth^2 via pseudo-colors on the same compositing weights
+    # depth + depth^2 pseudo-colors share the compositing weights
     zcam = means @ w2c_rot.T + w2c_trans
     z = zcam[:, 2:3]
-    zz = jnp.concatenate([z, z * z, jnp.ones_like(z)], axis=-1)
-    dimg, dacc, _ = render_gaussians(
-        means, quats, scales, ops, zz, alive, w2c_rot, w2c_trans, intr,
-        img_size=img_size, channels=3, **kw,
+    cols = jnp.concatenate([rgb, z, z * z], axis=-1)
+
+    img5, acc, _ = render_gaussians(
+        means, quats, scales, ops, cols, alive, w2c_rot, w2c_trans, intr,
+        img_size=img_size, channels=5, **kw,
     )
-    depth = dimg[..., 0]
-    depth_sq = dimg[..., 1]
-    sil = dacc
+    img = img5[..., :3]
+    depth = img5[..., 3]
+    depth_sq = img5[..., 4]
+    sil = acc
     return img, depth, sil, depth_sq

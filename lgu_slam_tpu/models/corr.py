@@ -58,9 +58,9 @@ class CorrPyramid(NamedTuple):
 
     @property
     def is_packed(self):
-        """True when levels hold the single fused-lookup tensor
-        [E, P1, S_tot, 128] instead of NUM_LEVELS flat planes."""
-        return len(self.levels) == 1 and self.levels[0].ndim == 4
+        """True when levels hold the fused-lookup packed tensors
+        [E, P1, S_l, 128] instead of NUM_LEVELS flat planes."""
+        return self.levels[0].ndim == 4
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -191,39 +191,48 @@ def build_corr_pyramid(
     else:
         lvl0 = masked_level0(fmap1, fmap2, mean, cov, det).reshape(E, P, P)
 
-    # pooled levels (flat), chunked over edges to bound fp32 transients
+    if pack is None:
+        pack = use_pallas  # inference on TPU; training passes pack=False
+
+    # pooled levels (flat)
     levels = [lvl0]
     v = lvl0
     h2, w2 = H, W
     for _ in range(NUM_LEVELS - 1):
         ho, wo = h2 // 2, w2 // 2
 
-        def pool_flat(x, h2=h2, w2=w2, ho=ho, wo=wo):
-            x = x.astype(jnp.float32).reshape(-1, P, h2, w2)
-            x = x[..., : ho * 2, : wo * 2].reshape(-1, P, ho, 2, wo, 2)
-            return x.mean(axis=(3, 5)).reshape(-1, P, ho * wo).astype(
-                volume_dtype
-            )
-
-        if E % edge_chunk == 0 and E > edge_chunk:
-            n = E // edge_chunk
-            v = jax.lax.map(
-                pool_flat, v.reshape((n, edge_chunk, P, h2 * w2))
-            ).reshape((E, P, ho * wo))
+        if pack:
+            # inference path: pool in volume_dtype in one shot (the fp32
+            # chunked variant below round-trips the 1.2 GB level through
+            # fp32 under a lax.map and measured ~40 ms of the build)
+            v = v.reshape(E, P, h2, w2)[..., : ho * 2, : wo * 2]
+            v = v.reshape(E, P, ho, 2, wo, 2).mean(axis=(3, 5))
+            v = v.reshape(E, P, ho * wo)
         else:
-            v = pool_flat(v)
+            def pool_flat(x, h2=h2, w2=w2, ho=ho, wo=wo):
+                x = x.astype(jnp.float32).reshape(-1, P, h2, w2)
+                x = x[..., : ho * 2, : wo * 2].reshape(-1, P, ho, 2, wo, 2)
+                return x.mean(axis=(3, 5)).reshape(-1, P, ho * wo).astype(
+                    volume_dtype
+                )
+
+            if E % edge_chunk == 0 and E > edge_chunk:
+                n = E // edge_chunk
+                v = jax.lax.map(
+                    pool_flat, v.reshape((n, edge_chunk, P, h2 * w2))
+                ).reshape((E, P, ho * wo))
+            else:
+                v = pool_flat(v)
         levels.append(v)
         h2, w2 = ho, wo
 
-    if pack is None:
-        pack = use_pallas  # inference on TPU; training passes pack=False
     if pack:
-        # pack all levels into ONE row-padded [E, P1, S_tot, 128] tensor
+        # pack all levels row-padded [E, P1, S_l, 128] per level
         # for the fused Pallas pyramid lookup (paid once per pyramid
         # build, amortized over the 8/16 GRU iterations that look it up)
         from lgu_slam_tpu.ops.pallas_lookup import pack_pyramid  # noqa: PLC0415
 
-        levels = [pack_pyramid(levels, H, W)]
+        levels = list(pack_pyramid(levels, H, W))
 
     return CorrPyramid(tuple(levels), (off0, off1), mean, 2.0 * det)
 
@@ -280,7 +289,7 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
         )
 
         feats = fused_pyramid_lookup(
-            pyr.levels[0], cflat, off0, off1, H, W
+            tuple(pyr.levels), cflat, off0, off1, H, W
         )
         return feats.reshape(E, H, W, 196)
 

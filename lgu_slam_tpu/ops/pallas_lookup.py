@@ -307,14 +307,16 @@ def pyramid_meta(H: int, W: int):
 
 
 def pack_pyramid(levels_flat, H: int, W: int):
-    """Per-level flat volumes [E, P1, H2*W2] -> one packed
-    [E, P1, S_tot, 128] tensor (zero padding), matching pyramid_meta."""
+    """Per-level flat volumes [E, P1, H2*W2] -> tuple of packed
+    [E, P1, S_l, 128] tensors (zero padding), matching pyramid_meta.
+    Kept per-level (no concat): level 0 packs as a free reshape at
+    reference scale, and a concatenated copy of the ~1.6 GB pyramid
+    measured ~10 ms per build."""
     meta, _ = pyramid_meta(H, W)
-    packed = []
-    for lvl, vol in enumerate(levels_flat):
-        h2, w2 = meta[lvl][0], meta[lvl][1]
-        packed.append(pack_level(vol, h2, w2)[0])
-    return jnp.concatenate(packed, axis=2)
+    return tuple(
+        pack_level(vol, meta[lvl][0], meta[lvl][1])[0]
+        for lvl, vol in enumerate(levels_flat)
+    )
 
 
 def pack_offsets(off: jnp.ndarray) -> jnp.ndarray:
@@ -326,38 +328,57 @@ def pack_offsets(off: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([o[..., 0], pad, o[..., 1], pad], axis=-1)
 
 
-def _corner_acc(V, s_base, S, k, W2p, hrow, xi):
-    """Gather both x-corners for target rows ``hrow`` [TP, 64] within one
-    level's rows of the packed block V [TP, S_tot, 128]."""
+def _corner_acc(V4, S, k, W2p, hrow, xi, okd, acc_ref):
+    """Gather both x-corners for target rows ``hrow`` [TP, 64] over one
+    level's packed rows V4 [TP, S, 128].
+
+    Row-range culling: per block, only stored rows within the
+    [min, max] row range of the *valid* taps are visited (``pl.when``
+    predication) — SLAM reprojections are smooth, so a pixel tile
+    typically touches a small band of the S rows.  Invalid taps gather
+    garbage-free zero (their rows are excluded from the range and their
+    bilinear weights are zero anyway).
+    """
     TP = hrow.shape[0]
     h = jnp.clip(hrow, 0, S * k - 1)
     hd = jnp.concatenate([h, h], axis=-1)  # [TP, 128]
     s_t = hd // k
     idx = (hd - s_t * k) * W2p + xi
-    acc = jnp.zeros((TP, 128), jnp.float32)
+    if S <= 2:
+        acc = jnp.zeros((TP, 128), jnp.float32)
+        for s in range(S):
+            g = jnp.take_along_axis(V4[:, s, :].astype(jnp.float32), idx,
+                                    axis=-1)
+            acc = acc + g * (s_t == s)
+        return acc
+    smin = jnp.min(s_t * okd + S * (1 - okd))
+    smax = jnp.max(s_t * okd - (1 - okd))
+    acc_ref[...] = jnp.zeros((TP, 128), jnp.float32)
     for s in range(S):
-        g = jnp.take_along_axis(
-            V[:, s_base + s, :].astype(jnp.float32), idx, axis=-1
-        )
-        acc = acc + g * (s_t == s)
-    return acc
+        @pl.when(jnp.logical_and(s >= smin, s <= smax))
+        def _():
+            g = jnp.take_along_axis(V4[:, s, :].astype(jnp.float32), idx,
+                                    axis=-1)
+            acc_ref[...] += g * (s_t == s)
+    return acc_ref[...]
 
 
-def _bilinear_level(V, meta_l, px_d, py):
-    """Full bilinear window lookup at one level of the packed block.
+def _bilinear_level(V4, meta_l, px_d, py, acc_ref):
+    """Full bilinear window lookup at one packed level V4 [TP, S, 128].
 
     px_d [TP, 128] (x positions, dup halves = the two x-corners),
     py [TP, 64].  Returns [TP, 64] float32 (CUDA boundary semantics).
     """
-    H2, W2, W2p, k, S, s_off = meta_l
+    H2, W2, W2p, k, S, _ = meta_l
     TP = py.shape[0]
     x1 = jnp.floor(px_d[:, :64])
     y1 = jnp.floor(py)
-    ok = ((x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)).astype(jnp.float32)
+    ok = (x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)
+    okf = ok.astype(jnp.float32)
     frx = px_d[:, :64] - x1
     fry = py - y1
-    wx0 = (1.0 - frx) * ok
-    wx1 = frx * ok * (x1 + 1 < W2)
+    wx0 = (1.0 - frx) * okf
+    wx1 = frx * okf * (x1 + 1 < W2)
     wy0 = 1.0 - fry
     wy1 = fry * (y1 + 1 < H2)
 
@@ -365,19 +386,20 @@ def _bilinear_level(V, meta_l, px_d, py):
     corner1 = (l128 >= 64).astype(jnp.int32)
     xi = jnp.clip(jnp.floor(px_d).astype(jnp.int32) + corner1, 0, W2p - 1)
     y1i = jnp.floor(py).astype(jnp.int32)
+    oki = ok.astype(jnp.int32)
+    okd = jnp.concatenate([oki, oki], axis=-1)
 
-    a0 = _corner_acc(V, s_off, S, k, W2p, y1i, xi)
-    a1 = _corner_acc(V, s_off, S, k, W2p, y1i + 1, xi)
-    return (
-        wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
-        + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
-    )
+    a0 = _corner_acc(V4, S, k, W2p, y1i, xi, okd, acc_ref)
+    r0 = wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
+    a1 = _corner_acc(V4, S, k, W2p, y1i + 1, xi, okd, acc_ref)
+    return r0 + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
 
 
-def _fused_kernel(cxy_ref, off0_ref, off1_ref, vol_ref,
-                  out0_ref, out1_ref, out2_ref, out3_ref, *, meta):
+def _fused_kernel(cxy_ref, off0_ref, off1_ref, v0_ref, v1_ref, v2_ref,
+                  v3_ref, out0_ref, out1_ref, out2_ref, out3_ref, acc_ref,
+                  *, meta):
     TP = out0_ref.shape[1]
-    V = vol_ref[0]  # [TP, S_tot, 128]
+    Vs = (v0_ref[0], v1_ref[0], v2_ref[0], v3_ref[0])  # [TP, S_l, 128]
     cxy = cxy_ref[0]  # [TP, 128] (lane 0 = x, lane 1 = y)
     cx = cxy[:, 0:1]
     cy = cxy[:, 1:2]
@@ -412,7 +434,8 @@ def _fused_kernel(cxy_ref, off0_ref, off1_ref, vol_ref,
     dyp = ((l64 % 3) - 1).astype(jnp.float32) * livep
     pxp = cx * 0.5 + dxp
     probe = _bilinear_level(
-        V, meta[1], jnp.concatenate([pxp, pxp], axis=-1), cy * 0.5 + dyp
+        Vs[1], meta[1], jnp.concatenate([pxp, pxp], axis=-1),
+        cy * 0.5 + dyp, acc_ref,
     )
     m = jnp.sum(probe[:, :9], axis=-1, keepdims=True) / 9.0
     var = jnp.sum((probe[:, :9] - m) ** 2, axis=-1, keepdims=True) / 8.0
@@ -422,14 +445,15 @@ def _fused_kernel(cxy_ref, off0_ref, off1_ref, vol_ref,
     o1 = off1_ref[0]
     px0, py0 = tap_positions(o0, 1.0, None)
     px1, py1 = tap_positions(o1, 0.5, gate)
-    out0_ref[0] = _bilinear_level(V, meta[0], px0, py0)
-    out1_ref[0] = _bilinear_level(V, meta[1], px1, py1)
+    out0_ref[0] = _bilinear_level(Vs[0], meta[0], px0, py0, acc_ref)
+    out1_ref[0] = _bilinear_level(Vs[1], meta[1], px1, py1, acc_ref)
     for lvl, oref in ((2, out2_ref), (3, out3_ref)):
         scale = 0.5 ** lvl
         px = cx * scale + dx
         py = cy * scale + dy
         oref[0] = _bilinear_level(
-            V, meta[lvl], jnp.concatenate([px, px], axis=-1), py
+            Vs[lvl], meta[lvl], jnp.concatenate([px, px], axis=-1), py,
+            acc_ref,
         )
 
 
@@ -437,7 +461,7 @@ def _fused_kernel(cxy_ref, off0_ref, off1_ref, vol_ref,
     jax.jit, static_argnames=("H", "W", "interpret", "tile_p")
 )
 def fused_pyramid_lookup(
-    vol: jnp.ndarray,
+    vols,
     cflat: jnp.ndarray,
     off0: jnp.ndarray,
     off1: jnp.ndarray,
@@ -448,17 +472,20 @@ def fused_pyramid_lookup(
 ):
     """One-kernel deformable pyramid lookup (corr.py:88-109 semantics).
 
-    vol: [E, P1, S_tot, 128] (from :func:`pack_pyramid`); cflat: [E, P1, 2]
-    base coords in level-0 pixels; off0/off1: [E, P1, rd, rd, 2] learned
-    offsets for levels 0/1 (pre-gate).  The radius-1 level-1 variance
-    probe, sigmoid gate, center-tap zeroing, clip, and all four level
-    lookups run inside the kernel.  Returns [E, P1, 4*49] float32 ordered
-    level-major (tap channel i*rd+j, x-major), matching the chained
-    CorrSampler outputs.
+    vols: tuple of 4 packed levels [E, P1, S_l, 128] (from
+    :func:`pack_pyramid`); cflat: [E, P1, 2] base coords in level-0
+    pixels; off0/off1: [E, P1, rd, rd, 2] learned offsets for levels 0/1
+    (pre-gate).  The radius-1 level-1 variance probe, sigmoid gate,
+    center-tap zeroing, clip, and all four level lookups run inside the
+    kernel.  Returns [E, P1, 4*49] float32 ordered level-major (tap
+    channel i*rd+j, x-major), matching the chained CorrSampler outputs.
     """
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
     E, P1 = cflat.shape[:2]
-    meta, S_tot = pyramid_meta(H, W)
-    assert vol.shape[2] == S_tot, (vol.shape, S_tot)
+    meta, _ = pyramid_meta(H, W)
+    for lvl, v in enumerate(vols):
+        assert v.shape[2] == meta[lvl][4], (lvl, v.shape, meta[lvl])
     TP = tile_p if P1 % tile_p == 0 else pick_tp(P1, tile_p)
 
     cxy = jnp.concatenate(
@@ -473,15 +500,16 @@ def fused_pyramid_lookup(
     outs = pl.pallas_call(
         kern,
         grid=(E, P1 // TP),
-        in_specs=[
-            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
-            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
-            pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0)),
-            pl.BlockSpec((1, TP, S_tot, 128), lambda e, p: (e, p, 0, 0)),
+        in_specs=[pl.BlockSpec((1, TP, 128), lambda e, p: (e, p, 0))] * 3
+        + [
+            pl.BlockSpec((1, TP, meta[lvl][4], 128),
+                         lambda e, p: (e, p, 0, 0))
+            for lvl in range(NUM_LEVELS)
         ],
         out_specs=[ospec] * 4,
         out_shape=[oshape] * 4,
+        scratch_shapes=[pltpu.VMEM((TP, 128), jnp.float32)],
         interpret=interpret,
-    )(cxy, o0, o1, vol)
+    )(cxy, o0, o1, *vols)
     K = RD * RD
     return jnp.concatenate([o[..., :K] for o in outs], axis=-1)

@@ -147,7 +147,7 @@ def test_fused_pyramid_lookup_matches_flat_path(rng):
 
         packed = pack_pyramid(levels, H, W)
         out = fused_pyramid_lookup(
-            packed, coords.reshape(E, P1, 2),
+            tuple(packed), coords.reshape(E, P1, 2),
             off0.reshape(E, P1, 7, 7, 2), off1.reshape(E, P1, 7, 7, 2),
             H, W, interpret=True, tile_p=8,
         )
