@@ -51,6 +51,18 @@ class TrajectoryFiller:
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
 
+        if N + BATCH > video.state.poses.shape[0]:
+            # no scratch headroom past the keyframes (tiny demo buffers):
+            # out-of-range scatters would silently drop — return the SE(3)
+            # interpolation without the motion-only BA refinement
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                "trajectory filler: buffer too small for motion-only BA "
+                f"(counter={N}, buffer={video.state.poses.shape[0]}); "
+                "returning interpolated poses", stacklevel=2)
+            return [np.asarray(Gs[:M])]
+
         # write fill frames into scratch slots [N, N+BATCH)
         fd = video.state.fmaps.dtype
         s = video.state

@@ -45,6 +45,9 @@ def main():
     p.add_argument("--export_every", type=int, default=0,
                    help="write growing .ply snapshots every N frames")
     p.add_argument("--export_dir", default="recon")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve a live interactive web viewer")
+    p.add_argument("--viewer_port", type=int, default=8090)
     args = p.parse_args()
 
     from lgu_slam_tpu.data.streams import image_stream, rgbd_stream
@@ -86,11 +89,18 @@ def main():
 
     slam = LGUSlam(params, cfg, net_def=net)
     inc = None
-    if args.export_every:
+    viewer = None
+    if args.export_every or args.viewer:
         from lgu_slam_tpu.slam.visualization import IncrementalReconstruction
 
-        os.makedirs(args.export_dir, exist_ok=True)
         inc = IncrementalReconstruction(slam.video)
+    if args.export_every:
+        os.makedirs(args.export_dir, exist_ok=True)
+    if args.viewer:
+        from lgu_slam_tpu.slam.live_viewer import LiveViewer
+
+        viewer = LiveViewer(inc, port=args.viewer_port, host="0.0.0.0")
+        print(f"live viewer at {viewer.url}")
     tstamps = []
     n_tracked = 0
     for item in make_stream():
@@ -106,18 +116,23 @@ def main():
             slam.track(t, image, intrinsics=intr)
         tstamps.append(t)
         n_tracked += 1
-        if inc is not None and n_tracked % args.export_every == 0:
+        if viewer is not None:
+            viewer.refresh()
+        if args.export_every and n_tracked % args.export_every == 0:
             # consume the dirty-flag protocol incrementally
             # (droid_slam/visualization.py:81-112)
-            if inc.update():
+            if viewer is not None or inc.update():
                 inc.export_ply(os.path.join(
                     args.export_dir, f"points_{n_tracked:05d}.ply"))
                 inc.export_frusta(os.path.join(
                     args.export_dir, f"cameras_{n_tracked:05d}.ply"))
 
     traj = slam.terminate(make_stream())
-    if inc is not None:
+    if viewer is not None:
+        viewer.refresh()
+    elif inc is not None:
         inc.update()
+    if args.export_every:
         inc.export_ply(os.path.join(args.export_dir, "points_final.ply"))
         inc.export_frusta(os.path.join(args.export_dir, "cameras_final.ply"))
     save_tum_trajectory(args.trajectory_path, tstamps[: len(traj)], traj)
