@@ -21,6 +21,7 @@ from lgu_slam_tpu.models.kan import KANLinear
 class KanBiasConvGRU(nn.Module):
     h_planes: int = 128
     i_planes: int = 320
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, net, *inputs):
@@ -28,20 +29,27 @@ class KanBiasConvGRU(nn.Module):
         inp = jnp.concatenate(inputs, axis=-1)
         net_inp = jnp.concatenate([net, inp], axis=-1)
         c = self.h_planes
+        dt = self.dtype
 
         # gated global pooling (gru_kanBias.py:25-26)
-        gate = nn.sigmoid(nn.Conv(c, (1, 1), name="w")(net))
-        glo = jnp.mean(gate * net, axis=(1, 2))  # [B, C]
+        gate = nn.sigmoid(nn.Conv(c, (1, 1), name="w", dtype=dt)(net))
+        # the pooled KAN path is tiny [B, C]: keep it fp32 (spline bases
+        # are sensitive to input precision)
+        glo = jnp.mean(
+            (gate * net).astype(jnp.float32), axis=(1, 2)
+        )  # [B, C]
 
         kz = KANLinear(c, c, grid_size=3, name="kanz_glo")(glo)[:, None, None, :]
         kr = KANLinear(c, c, grid_size=3, name="kanr_glo")(glo)[:, None, None, :]
         kq = KANLinear(c, c, grid_size=3, name="kanq_glo")(glo)[:, None, None, :]
 
-        z = nn.sigmoid(nn.Conv(c, (3, 3), padding=1, name="convz")(net_inp) + kz)
-        r = nn.sigmoid(nn.Conv(c, (3, 3), padding=1, name="convr")(net_inp) + kr)
+        z = nn.sigmoid(nn.Conv(c, (3, 3), padding=1, name="convz",
+                               dtype=dt)(net_inp) + kz)
+        r = nn.sigmoid(nn.Conv(c, (3, 3), padding=1, name="convr",
+                               dtype=dt)(net_inp) + kr)
         q = nn.tanh(
-            nn.Conv(c, (3, 3), padding=1, name="convq")(
-                jnp.concatenate([r * net, inp], axis=-1)
+            nn.Conv(c, (3, 3), padding=1, name="convq", dtype=dt)(
+                jnp.concatenate([r * net.astype(r.dtype), inp], axis=-1)
             )
             + kq
         )

@@ -37,6 +37,9 @@ class LGUNet(nn.Module):
     """All learned components behind one parameter tree."""
 
     volume_dtype: jnp.dtype = jnp.float32
+    # conv compute dtype for the update operator (bf16 on the TPU
+    # inference path; training / parity tests keep the fp32 default)
+    compute_dtype: jnp.dtype | None = None
 
     def setup(self):
         self.fnet = BasicEncoder(128, "instance")
@@ -51,7 +54,7 @@ class LGUNet(nn.Module):
             98, (3, 3), padding=1, kernel_init=nn.initializers.zeros,
             name="ofs_residual",
         )
-        self.update = UpdateModule()
+        self.update = UpdateModule(dtype=self.compute_dtype)
 
     # -- feature extraction -------------------------------------------------
 

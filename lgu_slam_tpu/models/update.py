@@ -65,6 +65,7 @@ class GraphAgg(nn.Module):
     """
 
     num_frames: int | None = None  # unused; kept for config symmetry
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, net: jnp.ndarray, ii: jnp.ndarray, num_frames: int,
@@ -74,7 +75,7 @@ class GraphAgg(nn.Module):
         upmask [B, F, H, W, 576], slot_mask [F])."""
         b, e, h, w, c = net.shape
         x = nn.relu(
-            nn.Conv(128, (3, 3), padding=1, name="conv1")(
+            nn.Conv(128, (3, 3), padding=1, name="conv1", dtype=self.dtype)(
                 net.reshape(b * e, h, w, c)
             )
         ).reshape(b, e, h, w, c)
@@ -90,23 +91,33 @@ class GraphAgg(nn.Module):
         x = num / jnp.maximum(den, 1.0)[None, :, None, None, None]
 
         x = nn.relu(
-            nn.Conv(128, (3, 3), padding=1, name="conv2")(
-                x.reshape(b * num_frames, h, w, c)
-            )
+            nn.Conv(128, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(x.reshape(b * num_frames, h, w, c))
         )
         eta = nn.softplus(
-            grad_clip(nn.Conv(1, (3, 3), padding=1, name="eta")(x))
+            grad_clip(nn.Conv(1, (3, 3), padding=1, name="eta",
+                              dtype=self.dtype)(x).astype(jnp.float32))
         )
-        upmask = nn.Conv(8 * 8 * 9, (1, 1), name="upmask")(x)
+        upmask = nn.Conv(8 * 8 * 9, (1, 1), name="upmask",
+                         dtype=self.dtype)(x)
         return (
             0.01 * eta.reshape(b, num_frames, h, w),
-            upmask.reshape(b, num_frames, h, w, 8 * 8 * 9),
+            upmask.reshape(b, num_frames, h, w, 8 * 8 * 9)
+            .astype(jnp.float32),
             frame_mask,
         )
 
 
 class UpdateModule(nn.Module):
-    """RAFT-SLAM update operator (droid_net.py:71-136)."""
+    """RAFT-SLAM update operator (droid_net.py:71-136).
+
+    ``dtype`` sets the conv compute dtype: the SLAM inference path runs
+    bf16 (params stay fp32; MXU convs take bf16 inputs) while training
+    and parity tests keep fp32.  Geometry-facing outputs (delta, weight,
+    eta, upmask) are always returned fp32 for the DBA solver.
+    """
+
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -121,6 +132,7 @@ class UpdateModule(nn.Module):
     ):
         """net/inp [B,E,H,W,128], corr [B,E,H,W,196], flow [B,E,H,W,4]."""
         b, e, h, w, _ = net.shape
+        dt = self.dtype
         if flow is None:
             flow = jnp.zeros((b, e, h, w, 4), net.dtype)
 
@@ -129,41 +141,43 @@ class UpdateModule(nn.Module):
 
         cor = nn.Sequential(
             [
-                nn.Conv(128, (1, 1), name="corr_enc1"),
+                nn.Conv(128, (1, 1), name="corr_enc1", dtype=dt),
                 nn.relu,
-                nn.Conv(128, (3, 3), padding=1, name="corr_enc2"),
+                nn.Conv(128, (3, 3), padding=1, name="corr_enc2", dtype=dt),
                 nn.relu,
             ]
         )(flat(corr))
         flo = nn.Sequential(
             [
-                nn.Conv(128, (7, 7), padding=3, name="flow_enc1"),
+                nn.Conv(128, (7, 7), padding=3, name="flow_enc1", dtype=dt),
                 nn.relu,
-                nn.Conv(64, (3, 3), padding=1, name="flow_enc2"),
+                nn.Conv(64, (3, 3), padding=1, name="flow_enc2", dtype=dt),
                 nn.relu,
             ]
         )(flat(flow))
 
-        h_new = KanBiasConvGRU(128, 128 + 128 + 64, name="gru")(
+        h_new = KanBiasConvGRU(128, 128 + 128 + 64, name="gru", dtype=dt)(
             flat(net), flat(inp), cor, flo
         )
 
-        delta = nn.Conv(2, (3, 3), padding=1, name="delta2")(
-            nn.relu(nn.Conv(128, (3, 3), padding=1, name="delta1")(h_new))
+        delta = nn.Conv(2, (3, 3), padding=1, name="delta2", dtype=dt)(
+            nn.relu(nn.Conv(128, (3, 3), padding=1, name="delta1",
+                            dtype=dt)(h_new))
         )
-        delta = grad_clip(delta)
+        delta = grad_clip(delta.astype(jnp.float32))
 
-        weight = nn.Conv(2, (3, 3), padding=1, name="weight2")(
-            nn.relu(nn.Conv(128, (3, 3), padding=1, name="weight1")(h_new))
+        weight = nn.Conv(2, (3, 3), padding=1, name="weight2", dtype=dt)(
+            nn.relu(nn.Conv(128, (3, 3), padding=1, name="weight1",
+                            dtype=dt)(h_new))
         )
-        weight = nn.sigmoid(grad_clip(weight))
+        weight = nn.sigmoid(grad_clip(weight.astype(jnp.float32)))
 
         net_out = h_new.reshape(b, e, h, w, 128)
         delta = delta.reshape(b, e, h, w, 2)
         weight = weight.reshape(b, e, h, w, 2)
 
         if ii is not None:
-            eta, upmask, frame_mask = GraphAgg(name="agg")(
+            eta, upmask, frame_mask = GraphAgg(name="agg", dtype=dt)(
                 net_out, ii, num_frames, edge_mask
             )
             return net_out, delta, weight, eta, upmask, frame_mask

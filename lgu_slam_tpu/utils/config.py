@@ -59,6 +59,7 @@ class SLAMConfig:
     # precision
     volume_dtype: str = "bfloat16"  # corr pyramid storage
     feat_dtype: str = "bfloat16"  # cached fmaps/nets/inps in the video
+    compute_dtype: str = "bfloat16"  # update-operator conv compute dtype
 
     @property
     def ht8(self):

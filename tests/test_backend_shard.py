@@ -22,10 +22,13 @@ from tests.test_lowmem import stage_video
 
 
 def make_cfg():
+    # fp32 compute: sharded-vs-single comparisons need accumulation-order
+    # insensitivity (see tests/test_lowmem.py make_cfg)
     return SLAMConfig(
         image_size=(64, 96), buffer=16, warmup=4,
         max_factors=64, edge_bucket=64, inactive_bucket=8,
         pose_bucket=16, backend_edge_cap=64, backend_chunk=8,
+        compute_dtype="float32",
     )
 
 

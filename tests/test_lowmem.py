@@ -14,10 +14,14 @@ from lgu_slam_tpu.utils.config import SLAMConfig
 
 
 def make_cfg():
+    # fp32 compute: this oracle asserts *structural* fused-vs-chunked
+    # equivalence to tight tolerance; bf16 matmuls accumulate differently
+    # across the two batch shapes
     return SLAMConfig(
         image_size=(64, 96), buffer=16, warmup=4,
         max_factors=24, edge_bucket=32, inactive_bucket=8,
         pose_bucket=8, backend_edge_cap=32, backend_chunk=8,
+        compute_dtype="float32",
     )
 
 
