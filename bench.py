@@ -1,26 +1,33 @@
-"""Benchmark: frontend keyframe-update throughput on real hardware.
+"""Benchmark: SLAM tracking + global-BA throughput on real hardware.
 
-Measures the production frontend path at reference scale (384x512 images
--> 48x64 feature maps, 48-edge factor graph, 512-frame buffer): host-side
-proximity planning (device frame-distance + NMS) + correlation-pyramid
-rebuild + a fused 8-iteration {reprojection, deformable pyramid lookup,
-KAN-GRU update, dense bundle adjustment} device program — i.e. exactly
-what one tracked keyframe costs (droid_frontend.py:35-73 equivalent).
+Two timed sections:
 
-Cold-cache safety (round-2 bench timed out, rc=124): parameters are
-initialized on the host CPU (seconds, not ~170 s of device round-trips),
-progress is logged to stderr with timestamps, and the edge topology is
-held fixed across reps (round-1 defect: edges aged out by rep ~4 and the
-timed loop measured no-ops).  Every rep asserts the graph still holds the
-full edge count.
+1. **Frontend keyframe update** at reference scale (384x512 -> 48x64
+   feature maps, 48-edge graph, 512-frame buffer): host proximity
+   planning (device frame-distance + native NMS) + fused pyramid rebuild
+   + the fused 8-iteration {reprojection, one-kernel deformable pyramid
+   lookup, KAN-GRU update, 2-GN DBA} device program — exactly what one
+   tracked keyframe costs (droid_frontend.py:35-73 equivalent).  Logs a
+   per-phase breakdown (proximity/distance, device program, sync) so the
+   wall number is attributable (tunnel d2h latency is ~30 ms per
+   round-trip on this axon setup and bounds the host-planned proximity
+   step from below).
+2. **Backend global BA**: `update_lowmem(steps=12)` over a t=128
+   keyframe graph with 16*t proximity edges (capped at the 1024 edge
+   budget) — the terminate()-time global pass (droid_backend.py:26-43,
+   lowMem_defSample.cu / altcorr_kernel.cu analog; here per-chunk MXU
+   level volumes + the fused Pallas lookup).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+All state is staged ON DEVICE by one jitted PRNG program (round-3 bench
+spent 460 s uploading random host arrays over the tunnel).
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-DROID-class frontends sustain ~10 keyframe updates/s on a desktop GPU at
-these settings, so vs_baseline = value / 10.0.
+Prints ONE JSON line: the frontend throughput as the headline metric
+(vs_baseline = value / 10 kf/s, a DROID-class desktop-GPU yardstick —
+the reference publishes no throughput numbers), with the backend
+measurement and the frontend phase breakdown as extra keys.
 """
 
+import functools
 import json
 import sys
 import time
@@ -49,52 +56,50 @@ def main():
     from lgu_slam_tpu.utils.config import SLAMConfig
 
     log(f"devices={jax.devices()}")
-    cfg = SLAMConfig()  # 384x512, buffer 512, 48 max factors
-    rng = np.random.default_rng(0)
-
+    cfg = SLAMConfig()  # 384x512, buffer 512, 48 max frontend factors
     net, params = init_params(cfg, seed=0)  # host-CPU init
     jax.block_until_ready(params)
     log("params initialized")
 
     video = Video(cfg)
-    N, h, w = cfg.buffer, cfg.ht8, cfg.wd8
     T = 24
     video.counter = T
-
     fd = video.state.fmaps.dtype
-    video.state = video.state._replace(
-        fmaps=video.state.fmaps.at[:T].set(
-            jnp.asarray(
-                rng.normal(size=(T, 1, h, w, 128)).astype(np.float32)
-            ).astype(fd)
-        ),
-        nets=video.state.nets.at[:T].set(
-            jnp.asarray(
-                rng.normal(size=(T, h, w, 128)).astype(np.float32)
-            ).astype(fd)
-        ),
-        inps=video.state.inps.at[:T].set(
-            jnp.asarray(
-                rng.normal(size=(T, h, w, 128)).astype(np.float32)
-            ).astype(fd)
-        ),
-        poses=video.state.poses.at[:T].set(
-            lie.se3_exp(
-                jnp.asarray(
-                    np.cumsum(rng.normal(size=(T, 6)) * 0.01, 0), jnp.float32
-                )
-            )
-        ),
-        disps=video.state.disps.at[:T].set(
-            jnp.asarray(0.5 + 0.3 * rng.random((T, h, w)), jnp.float32)
-        ),
-        intrinsics=video.state.intrinsics.at[:T].set(
-            jnp.asarray([w * 4.0, w * 4.0, w / 2, h / 2])
-        ),
-    )
-    np.asarray(video.state.poses[:1])
-    log("video state staged")
 
+    @functools.partial(jax.jit, static_argnames=("T",))
+    def stage(state, key, T):
+        ks = jax.random.split(key, 5)
+        w8, h8 = state.disps.shape[2], state.disps.shape[1]
+        return state._replace(
+            fmaps=state.fmaps.at[:T].set(
+                jax.random.normal(ks[0], (T,) + state.fmaps.shape[1:],
+                                  jnp.float32).astype(fd)),
+            nets=state.nets.at[:T].set(
+                jax.random.normal(ks[1], (T,) + state.nets.shape[1:],
+                                  jnp.float32).astype(fd)),
+            inps=state.inps.at[:T].set(
+                jax.random.normal(ks[2], (T,) + state.inps.shape[1:],
+                                  jnp.float32).astype(fd)),
+            poses=state.poses.at[:T].set(
+                lie.se3_exp(jnp.cumsum(
+                    jax.random.normal(ks[3], (T, 6)) * 0.01, axis=0))),
+            disps=state.disps.at[:T].set(
+                0.5 + 0.3 * jax.random.uniform(
+                    ks[4], (T,) + state.disps.shape[1:])),
+            intrinsics=state.intrinsics.at[:T].set(
+                jnp.asarray([w8 * 4.0, w8 * 4.0, w8 / 2.0, h8 / 2.0])),
+        )
+
+    def sync():
+        # device->host of ONE element: a true pipeline drain
+        # (jax.block_until_ready returns early over the axon tunnel)
+        np.asarray(video.state.poses.reshape(-1)[0:1])
+
+    video.state = stage(video.state, jax.random.PRNGKey(0), T)
+    sync()
+    log("video state staged (on-device PRNG)")
+
+    # ---------------- frontend keyframe updates ----------------
     graph = FactorGraph(net, params, video, cfg)
     ii_l, jj_l = [], []
     for i in range(T - 8, T):
@@ -112,8 +117,8 @@ def main():
         # the per-tracked-keyframe frontend path (droid_frontend.py:35-73):
         # proximity re-planning (device frame-distance + host NMS; the
         # fixed topology dedups to zero additions so all reps measure the
-        # same 48-edge program — round-1 starvation fix), a pyramid
-        # rebuild, and the fused 8x(GRU + 2-GN DBA) device program.
+        # same 48-edge program), a pyramid rebuild, and the fused
+        # 8x(GRU + 2-GN DBA) device program.
         graph.age[:] = 0  # keep topology fixed across reps
         graph.add_proximity_factors(
             T - 5, max(0, T - cfg.frontend_window), rad=cfg.frontend_radius,
@@ -122,39 +127,68 @@ def main():
         graph._pyr_dirty = True  # new keyframe -> pyramid rebuild
         graph.update_n(8, use_inactive=True)
 
-    def sync():
-        # device->host transfer: a true pipeline drain (block_until_ready
-        # can return early over the axon tunnel)
-        np.asarray(video.state.poses[:1])
-
-    log("warmup (compiles the fused program on a cold cache)...")
-    keyframe_step()
-    sync()
-    assert graph.n_edges == n_edges, "graph starved during warmup"
-    # second warmup rep: after the first update the poses/disps have
-    # moved, so the proximity re-plan can evict+store edges for the first
-    # time, compiling _compact/_store_inactive (cost ~20 s observed when
-    # it landed inside rep 0 of the timed loop)
-    keyframe_step()
-    sync()
-    assert graph.n_edges == n_edges, "graph starved during warmup"
+    log("warmup (compiles the fused frontend program)...")
+    for _ in range(2):
+        keyframe_step()
+        sync()
+        assert graph.n_edges == n_edges, "graph starved during warmup"
     log("warmup done; timing 20 reps")
 
     reps = 20
+    t_prox = 0.0
     start = time.perf_counter()
     for r in range(reps):
-        keyframe_step()
-        if r in (0, reps - 1):
-            sync()
-            log(f"rep {r}: cumulative "
-                f"{time.perf_counter() - start:.2f}s, "
-                f"n_edges={graph.n_edges}")
+        t0 = time.perf_counter()
+        graph.age[:] = 0
+        graph.add_proximity_factors(
+            T - 5, max(0, T - cfg.frontend_window), rad=cfg.frontend_radius,
+            nms=cfg.frontend_nms, thresh=cfg.frontend_thresh, remove=True,
+        )
+        t_prox += time.perf_counter() - t0
+        graph._pyr_dirty = True
+        graph.update_n(8, use_inactive=True)
     sync()
     dt = time.perf_counter() - start
     assert graph.n_edges == n_edges, "graph starved during timing"
-
     kf_per_s = reps / dt
-    log(f"total {dt:.2f}s for {reps} keyframe updates")
+    prox_ms = 1e3 * t_prox / reps
+    dev_ms = 1e3 * dt / reps - prox_ms
+    log(f"frontend: {dt:.2f}s /{reps} keyframes = {1e3 * dt / reps:.1f} "
+        f"ms/kf (proximity+distance {prox_ms:.1f} ms — includes one ~30 ms "
+        f"tunnel d2h for the NMS distances — device program {dev_ms:.1f} ms)")
+
+    # ---------------- backend global BA ----------------
+    Tb = 128
+    video2 = Video(cfg)
+    video2.counter = Tb
+    video2.state = stage(video2.state, jax.random.PRNGKey(1), Tb)
+    sync()
+    log(f"backend state staged (t={Tb})")
+
+    bgraph = FactorGraph(
+        net, params, video2, cfg, corr_impl="alt",
+        max_factors=min(16 * Tb, cfg.backend_edge_cap),
+        edge_bucket=cfg.backend_edge_cap, inactive_bucket=8,
+    )
+    bgraph.add_proximity_factors(
+        0, 0, rad=cfg.backend_radius, nms=cfg.backend_nms,
+        thresh=cfg.backend_thresh * 4, beta=cfg.beta, remove=False,
+    )
+    log(f"backend graph: {bgraph.n_edges} edges "
+        f"(budget {min(16 * Tb, cfg.backend_edge_cap)})")
+
+    log("backend warmup (compiles update_lowmem)...")
+    bgraph.update_lowmem(t0=1, t1=Tb, steps=1, itrs=2)
+    sync()
+    t0 = time.perf_counter()
+    steps = 12
+    bgraph.update_lowmem(t0=1, t1=Tb, steps=steps, itrs=2)
+    sync()
+    dt_b = time.perf_counter() - t0
+    log(f"backend: update_lowmem(steps={steps}) over {bgraph.n_edges} "
+        f"edges at t={Tb}: {dt_b:.2f}s "
+        f"({1e3 * dt_b / steps:.1f} ms/step)")
+
     print(
         json.dumps(
             {
@@ -162,6 +196,13 @@ def main():
                 "value": round(kf_per_s, 3),
                 "unit": "keyframes/s (8 fused GRU+DBA iters each, 384x512)",
                 "vs_baseline": round(kf_per_s / 10.0, 3),
+                "frontend_ms_per_kf": round(1e3 * dt / reps, 1),
+                "frontend_proximity_ms": round(prox_ms, 1),
+                "frontend_device_ms": round(dev_ms, 1),
+                "backend_edges": int(bgraph.n_edges),
+                "backend_t": Tb,
+                "backend_update_lowmem12_s": round(dt_b, 2),
+                "backend_ms_per_step": round(1e3 * dt_b / steps, 1),
             }
         )
     )

@@ -115,7 +115,7 @@ def pack_level(vol_flat: jnp.ndarray, H2: int, W2: int, NS: int = 0):
 
 def _window_kernel(pxd_ref, pyd_ref, vol_ref, out_ref, *, k, W2p, H2, W2, S):
     TP = out_ref.shape[1]
-    V = vol_ref[0].astype(jnp.float32)  # [TP, S, 128]
+    V = vol_ref[0]  # [TP, S, 128] (volume dtype; select chain casts late)
 
     pxd = pxd_ref[0]  # [TP, 128]: tap x, duplicated halves
     pyd = pyd_ref[0]  # [TP, 64]
@@ -144,15 +144,17 @@ def _window_kernel(pxd_ref, pyd_ref, vol_ref, out_ref, *, k, W2p, H2, W2, S):
 
     def corner_acc(hrow):
         """hrow [TP, 64] int target row -> gathered values [TP, 128]
-        (both x-corners), selecting stored row h//k by masked sum."""
+        (both x-corners), selecting stored row h//k (each lane matches
+        exactly one stored row, so a select chain suffices)."""
         h = jnp.clip(hrow, 0, S * k - 1)
         hd = jnp.concatenate([h, h], axis=-1)  # [TP, 128]
         s_t = hd // k
         idx = (hd - s_t * k) * W2p + xi
         acc = jnp.zeros((TP, 128), jnp.float32)
         for s in range(S):
-            g = jnp.take_along_axis(V[:, s, :], idx, axis=-1)
-            acc = acc + g * (s_t == s)
+            g = jnp.take_along_axis(V[:, s, :].astype(jnp.float32), idx,
+                                    axis=-1)
+            acc = jnp.where(s_t == s, g, acc)
         return acc
 
     a0 = corner_acc(y1i)
@@ -344,23 +346,26 @@ def _corner_acc(V4, S, k, W2p, hrow, xi, okd, acc_ref):
     hd = jnp.concatenate([h, h], axis=-1)  # [TP, 128]
     s_t = hd // k
     idx = (hd - s_t * k) * W2p + xi
+    # each lane's tap lives in exactly ONE stored row, so the "masked sum"
+    # is really a select chain (no convert/multiply/add per row; Mosaic
+    # dynamic_gather is 32-bit only, so rows still cast f32 before gather)
     if S <= 2:
         acc = jnp.zeros((TP, 128), jnp.float32)
         for s in range(S):
             g = jnp.take_along_axis(V4[:, s, :].astype(jnp.float32), idx,
                                     axis=-1)
-            acc = acc + g * (s_t == s)
+            acc = jnp.where(s_t == s, g, acc)
         return acc
     smin = jnp.min(s_t * okd + S * (1 - okd))
     smax = jnp.max(s_t * okd - (1 - okd))
-    acc_ref[...] = jnp.zeros((TP, 128), jnp.float32)
+    acc_ref[...] = jnp.zeros((TP, 128), acc_ref.dtype)
     for s in range(S):
         @pl.when(jnp.logical_and(s >= smin, s <= smax))
         def _():
             g = jnp.take_along_axis(V4[:, s, :].astype(jnp.float32), idx,
                                     axis=-1)
-            acc_ref[...] += g * (s_t == s)
-    return acc_ref[...]
+            acc_ref[...] = jnp.where(s_t == s, g, acc_ref[...])
+    return acc_ref[...].astype(jnp.float32)
 
 
 def _bilinear_level(V4, meta_l, px_d, py, acc_ref):
