@@ -1149,7 +1149,9 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii = ii.reshape(-1)
         jj = jj.reshape(-1)
-        d = self.video.distance(ii, jj, beta=beta).copy()
+        # device-built candidate grid: one dispatch + one d2h, no host
+        # index upload (depth_video.py:158-171 distance)
+        d = self.video.distance_rect(t0, t, t1, t, beta=beta).reshape(-1)
 
         # native planner (C++ extension) when built; identical semantics
         from lgu_slam_tpu.utils import native  # noqa: PLC0415

@@ -10,6 +10,7 @@ backend shards along the keyframe axis (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -179,8 +180,34 @@ class Video:
         )
         return np.asarray(d)[:E]
 
+    def distance_rect(self, i0, i1, j0, j1, beta=0.3):
+        """Bidirectional distance for the dense index rectangle
+        [i0, i1) x [j0, j1) with NO host index upload: the candidate grid
+        is built on device from the scalar corners (proximity planning
+        calls this once per keyframe; uploading the meshgrid cost a
+        ~27 ms tunnel round-trip per call).  Returns [ni, nj] numpy."""
+        ni, nj = i1 - i0, j1 - j0
+        Bi = max(8, 1 << int(np.ceil(np.log2(max(ni, 1)))))
+        Bj = max(8, 1 << int(np.ceil(np.log2(max(nj, 1)))))
+        d = _distance_rect_padded(
+            self.state.poses, self.state.disps, self.state.intrinsics[0],
+            jnp.int32(i0), jnp.int32(j0), beta, Bi=Bi, Bj=Bj,
+        )
+        return np.asarray(d)[:ni, :nj]
+
     def distance_matrix(self, beta=0.3):
         t = self.counter
         ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
         d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta)
         return d.reshape(t, t)
+
+
+@functools.partial(jax.jit, static_argnames=("Bi", "Bj"))
+def _distance_rect_padded(poses, disps, intr, i0, j0, beta, Bi, Bj):
+    N = poses.shape[0]
+    ii = jnp.clip(i0 + jnp.arange(Bi, dtype=jnp.int32), 0, N - 1)
+    jj = jnp.clip(j0 + jnp.arange(Bj, dtype=jnp.int32), 0, N - 1)
+    ii = jnp.repeat(ii, Bj)
+    jj = jnp.tile(jj, Bi)
+    d = frame_distance_bidirectional(poses, disps, intr, ii, jj, beta)
+    return d.reshape(Bi, Bj)
