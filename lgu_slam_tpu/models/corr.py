@@ -323,6 +323,15 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
 # fused low-memory path (backend AltCorrBlock)
 # ---------------------------------------------------------------------------
 
+def default_use_volume() -> bool:
+    """True on TPU: the low-memory path builds per-chunk MXU level
+    volumes + the Pallas lookup; elsewhere the fused-tap (gather)
+    formulation is used (and wants fp32 feature maps)."""
+    dd = jax.config.jax_default_device
+    platform = dd.platform if dd is not None else jax.default_backend()
+    return platform == "tpu"
+
+
 def build_fmap_pyramid(fmaps: jnp.ndarray):
     """Average-pool pyramid of feature maps (corr.py:164-172).
 
@@ -435,9 +444,7 @@ def alt_corr_lookup(
       sub_chunk * P1 * P2 bf16 (~150 MB at reference scale).
     """
     if use_volume is None:
-        dd = jax.config.jax_default_device
-        platform = dd.platform if dd is not None else jax.default_backend()
-        use_volume = platform == "tpu"
+        use_volume = default_use_volume()
     if use_volume:
         return _alt_corr_lookup_volume(
             fmap_pyr, ii, jj, coords, ofs_map_fn, ofs_residual_fn

@@ -656,9 +656,19 @@ class FactorGraph:
         else:
             num, rig = self.video.state.fmaps.shape[:2]
             h, w = self.cfg.ht8, self.cfg.wd8
-            flat = self.video.state.fmaps.astype(jnp.float32).reshape(
-                num * rig, h, w, 128
+            # pyramid over the LIVE keyframes only (bucketed so jit
+            # compiles O(log N) variants, not one per counter value);
+            # bf16 on TPU — the per-chunk volume einsum wants bf16 MXU
+            # inputs, while the fused-tap oracle path (CPU) wants fp32
+            t = max(int(self.video.counter), 1)
+            Tb = min(num, max(8, 1 << int(np.ceil(np.log2(t)))))
+            fm = self.video.state.fmaps[:Tb]
+            from lgu_slam_tpu.models.corr import (  # noqa: PLC0415
+                default_use_volume,
             )
+            if not default_use_volume():
+                fm = fm.astype(jnp.float32)
+            flat = fm.reshape(Tb * rig, h, w, 128)
             self.fmap_pyr = build_fmap_pyramid(flat)
         self._pyr_dirty = False
 
