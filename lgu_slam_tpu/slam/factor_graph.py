@@ -404,6 +404,17 @@ def _upsample_slots(disps, disps_up, upmask_slots, frame_ids, slot_mask):
     return disps_up.at[frame_ids].set(up)
 
 
+def pose_bucket_for(cfg, span: int) -> int:
+    """Smallest doubling of cfg.pose_bucket covering ``span`` free poses
+    (capped at the buffer).  The dense reduced camera system is
+    [6P, 6P]; jumping straight to the full buffer cost a 64x-oversized
+    Cholesky for a t=128 global pass."""
+    P = cfg.pose_bucket
+    while P < span and P < cfg.buffer:
+        P *= 2
+    return min(P, cfg.buffer)
+
+
 class FactorGraph:
     """Padded-buffer factor graph bound to a Video and an LGUNet."""
 
@@ -759,7 +770,7 @@ class FactorGraph:
             self._plan = (ii, jj, mask, frame_ids, edge_slot, F,
                           target_inac, weight_inac, plan_dev, stereo_c)
 
-        P = cfg.pose_bucket if (t1 - t0) <= cfg.pose_bucket else cfg.buffer
+        P = pose_bucket_for(cfg, t1 - t0)
         loop_tail = (
             mask, edge_slot, frame_ids, target_inac, weight_inac,
             *plan_dev, jnp.int32(t0), jnp.int32(t1),
@@ -857,7 +868,7 @@ class FactorGraph:
         damping = 0.2 * self.video.state.damping + EP
 
         s = self.video.state
-        P = cfg.pose_bucket if (t1 - t0) <= cfg.pose_bucket else cfg.buffer
+        P = pose_bucket_for(cfg, t1 - t0)
         poses, disps = dba_step(
             s.poses, s.disps, s.intrinsics[0], s.disps_sens,
             target, weight, damping,
@@ -944,7 +955,7 @@ class FactorGraph:
 
         t0_ = 1 if t0 is None else t0
         t1_ = t if t1 is None else t1
-        P = cfg.pose_bucket if (t1_ - t0_) <= cfg.pose_bucket else cfg.buffer
+        P = pose_bucket_for(cfg, t1_ - t0_)
 
         out = _lowmem_loop(
             self.net_def, self.params, self.video.state, self.fmap_pyr,
@@ -1013,8 +1024,7 @@ class FactorGraph:
 
         t0_ = 1 if t0 is None else t0
         t1_ = t if t1 is None else t1
-        Pb = cfg.pose_bucket if (t1_ - t0_) <= cfg.pose_bucket \
-            else cfg.buffer
+        Pb = pose_bucket_for(cfg, t1_ - t0_)
 
         out = lowmem_steps_sharded(
             mesh, axis, self.net_def, self.params, self.video.state,
