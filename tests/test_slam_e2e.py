@@ -85,3 +85,17 @@ def test_graph_edges_bounded(system_and_traj, tiny_cfg):
     slam, _ = system_and_traj
     # frontend was deleted by terminate(); check config bound was respected
     assert slam.video.counter <= tiny_cfg.buffer
+
+
+def test_distance_rect_matches_edge_list():
+    """distance_rect (device-built candidate grid, no host index upload)
+    must equal the padded edge-list distance (depth_video.py:158-171)."""
+    import numpy as np
+
+    from tests.test_lowmem import make_cfg, stage_video
+
+    video = stage_video(make_cfg(), T=8, seed=3)
+    ii, jj = np.meshgrid(np.arange(3, 8), np.arange(1, 8), indexing="ij")
+    d_edges = video.distance(ii.reshape(-1), jj.reshape(-1), beta=0.25)
+    d_rect = video.distance_rect(3, 8, 1, 8, beta=0.25).reshape(-1)
+    np.testing.assert_allclose(d_rect, d_edges, rtol=1e-5, atol=1e-6)
