@@ -47,25 +47,28 @@ eps_default = 1e-5
 
 class ResidualBlock(nn.Module):
     """Two 3x3 convs with norm + identity/downsample skip
-    (extractor.py:6-55)."""
+    (extractor.py:6-55).  ``dtype`` sets the conv compute dtype (bf16 on
+    the TPU inference path); normalization statistics stay fp32."""
 
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    name="conv1")(x)
-        y = nn.relu(_norm(y, self.norm_fn))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
-        y = nn.relu(_norm(y, self.norm_fn))
+                    name="conv1", dtype=self.dtype)(x)
+        y = nn.relu(_norm(y.astype(jnp.float32), self.norm_fn))
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(y)
+        y = nn.relu(_norm(y.astype(jnp.float32), self.norm_fn))
 
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                        name="downsample")(x)
-            x = _norm(x, self.norm_fn)
-        return nn.relu(x + y)
+                        name="downsample", dtype=self.dtype)(x)
+            x = _norm(x.astype(jnp.float32), self.norm_fn)
+        return nn.relu(x.astype(jnp.float32) + y)
 
 
 class BasicEncoder(nn.Module):
@@ -77,18 +80,21 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     norm_fn: str = "instance"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(DIM, (7, 7), strides=2, padding=3, name="conv1")(x)
-        x = nn.relu(_norm(x, self.norm_fn))
+        x = nn.Conv(DIM, (7, 7), strides=2, padding=3, name="conv1",
+                    dtype=self.dtype)(x)
+        x = nn.relu(_norm(x.astype(jnp.float32), self.norm_fn))
 
         for stage, (dim, stride) in enumerate(
             [(DIM, 1), (2 * DIM, 2), (4 * DIM, 2)]
         ):
-            x = ResidualBlock(dim, self.norm_fn, stride,
+            x = ResidualBlock(dim, self.norm_fn, stride, dtype=self.dtype,
                               name=f"layer{stage + 1}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1,
+            x = ResidualBlock(dim, self.norm_fn, 1, dtype=self.dtype,
                               name=f"layer{stage + 1}_1")(x)
 
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2",
+                       dtype=self.dtype)(x).astype(jnp.float32)

@@ -42,8 +42,8 @@ class LGUNet(nn.Module):
     compute_dtype: jnp.dtype | None = None
 
     def setup(self):
-        self.fnet = BasicEncoder(128, "instance")
-        self.cnet = BasicEncoder(256, "none")
+        self.fnet = BasicEncoder(128, "instance", dtype=self.compute_dtype)
+        self.cnet = BasicEncoder(256, "none", dtype=self.compute_dtype)
         self.ga = GaussianMask()
         # zero-initialized offset heads (droid_net.py:149-156)
         self.ofs_map = nn.Conv(
