@@ -93,3 +93,18 @@ def test_fused_lowmem_matches_chunked_oracle():
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(a).all(), name
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_pose_bucket_tiers():
+    """pose_bucket_for doubles to cover the span instead of jumping to the
+    full buffer (the dense reduced camera system is [6P, 6P])."""
+    from lgu_slam_tpu.slam.factor_graph import pose_bucket_for
+
+    cfg = SLAMConfig()  # pose_bucket=40, buffer=512
+    assert pose_bucket_for(cfg, 30) == 40
+    assert pose_bucket_for(cfg, 40) == 40
+    assert pose_bucket_for(cfg, 41) == 80
+    assert pose_bucket_for(cfg, 127) == 160
+    assert pose_bucket_for(cfg, 320) == 320
+    assert pose_bucket_for(cfg, 500) == 512
+    assert pose_bucket_for(cfg, 512) == 512
