@@ -423,6 +423,7 @@ def alt_corr_lookup(
     ofs_map_fn,
     ofs_residual_fn,
     use_volume: bool | None = None,
+    sub_chunk: int = 8,
 ) -> jnp.ndarray:
     """Backend on-the-fly correlation features (corr.py:174-215).
 
@@ -447,7 +448,8 @@ def alt_corr_lookup(
         use_volume = default_use_volume()
     if use_volume:
         return _alt_corr_lookup_volume(
-            fmap_pyr, ii, jj, coords, ofs_map_fn, ofs_residual_fn
+            fmap_pyr, ii, jj, coords, ofs_map_fn, ofs_residual_fn,
+            sub_chunk=sub_chunk,
         )
 
     f1 = fmap_pyr[0][ii]  # [E, H, W, C], scaled by 1/4

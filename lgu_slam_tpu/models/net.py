@@ -40,6 +40,9 @@ class LGUNet(nn.Module):
     # conv compute dtype for the update operator (bf16 on the TPU
     # inference path; training / parity tests keep the fp32 default)
     compute_dtype: jnp.dtype | None = None
+    # edge sub-chunk of the low-memory volume correlation sweep
+    # (per-group HBM transient = sub_chunk * P1 * P2 bf16)
+    alt_sub_chunk: int = 8
 
     def setup(self):
         self.fnet = BasicEncoder(128, "instance", dtype=self.compute_dtype)
@@ -85,7 +88,8 @@ class LGUNet(nn.Module):
 
     def alt_corr(self, fmap_pyr, ii, jj, coords) -> jnp.ndarray:
         return alt_corr_lookup(
-            fmap_pyr, ii, jj, coords, self.ofs_map, self.ofs_residual
+            fmap_pyr, ii, jj, coords, self.ofs_map, self.ofs_residual,
+            sub_chunk=self.alt_sub_chunk,
         )
 
     def update_step(self, net, inp, corr, flow=None, ii=None, num_frames=None,

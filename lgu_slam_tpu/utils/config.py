@@ -49,6 +49,7 @@ class SLAMConfig:
     frame_degree_bucket: int = 32  # initial rows-per-frame plan padding
     backend_edge_cap: int = 1024  # global-BA edge budget (16*t capped)
     backend_chunk: int = 128  # low-memory update edge chunk
+    backend_sub_chunk: int = 8  # volume-corr edge sub-chunk (TPU alt path)
     add_chunk: int = 32  # new-edge batch granularity
 
     # DBA
