@@ -38,11 +38,14 @@ def main():
     from lgu_slam_tpu.gs.mapping import GSConfig, make_mapping_step
 
     H, W = 680, 1200
-    N_cap = 400_000
     N_live = 200_000
+    # the mapper runs its jitted step on a pow2 bucket of the live
+    # high-water mark, not the full 400k capacity (gs/mapping.py
+    # _bucket) — bench the same shape
+    N_cap = 1 << (N_live - 1).bit_length()  # 262144
     cfg = GSConfig(capacity=N_cap)
     log(f"devices={jax.devices()}  image {W}x{H}, "
-        f"{N_live} live / {N_cap} capacity gaussians")
+        f"{N_live} live / bucket {N_cap} gaussians")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
