@@ -473,7 +473,7 @@ def fused_pyramid_lookup(
     H: int,
     W: int,
     interpret: bool = False,
-    tile_p: int = 128,
+    tile_p: int = 256,  # 256 measured ~13% faster than 128 on v5 lite
 ):
     """One-kernel deformable pyramid lookup (corr.py:88-109 semantics).
 
