@@ -27,7 +27,8 @@ def init_params(cfg: SLAMConfig, seed: int = 0):
     the round-2 bench-timeout culprit.  The finished pytree is then
     placed on the default device once.
     """
-    net = LGUNet(compute_dtype=jnp.dtype(cfg.compute_dtype),
+    net = LGUNet(volume_dtype=jnp.dtype(cfg.volume_dtype),
+                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                  alt_sub_chunk=cfg.backend_sub_chunk)
     H, W = 64, 96  # init-only; param shapes don't depend on H, W
     with jax.default_device(jax.devices("cpu")[0]):
@@ -62,6 +63,7 @@ class LGUSlam:
     def __init__(self, params, cfg: SLAMConfig, net_def: LGUNet | None = None):
         self.cfg = cfg
         self.net_def = net_def or LGUNet(
+            volume_dtype=jnp.dtype(cfg.volume_dtype),
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             alt_sub_chunk=cfg.backend_sub_chunk,
         )

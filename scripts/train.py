@@ -60,7 +60,12 @@ def main():
         load_train_state, save_train_state,
     )
 
-    net, params = init_params(SLAMConfig(image_size=tcfg.image_size))
+    # training keeps fp32 correlation volumes: the differentiable patch
+    # lookup backprops through the volume, and bf16 storage (the SLAM
+    # inference default) would round the gradients there
+    net, params = init_params(
+        SLAMConfig(image_size=tcfg.image_size, volume_dtype="float32")
+    )
     total = 0
     restored_opt = None
     restored_rng = None
