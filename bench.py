@@ -135,27 +135,44 @@ def main():
     log("warmup done; timing 20 reps")
 
     reps = 20
-    t_prox = 0.0
     start = time.perf_counter()
     for r in range(reps):
-        t0 = time.perf_counter()
         graph.age[:] = 0
         graph.add_proximity_factors(
             T - 5, max(0, T - cfg.frontend_window), rad=cfg.frontend_radius,
             nms=cfg.frontend_nms, thresh=cfg.frontend_thresh, remove=True,
         )
-        t_prox += time.perf_counter() - t0
         graph._pyr_dirty = True
         graph.update_n(8, use_inactive=True)
     sync()
     dt = time.perf_counter() - start
     assert graph.n_edges == n_edges, "graph starved during timing"
     kf_per_s = reps / dt
-    prox_ms = 1e3 * t_prox / reps
-    dev_ms = 1e3 * dt / reps - prox_ms
-    log(f"frontend: {dt:.2f}s /{reps} keyframes = {1e3 * dt / reps:.1f} "
-        f"ms/kf (proximity+distance {prox_ms:.1f} ms — includes one ~30 ms "
-        f"tunnel d2h for the NMS distances — device program {dev_ms:.1f} ms)")
+    log(f"frontend: {dt:.2f}s /{reps} keyframes = {1e3 * dt / reps:.1f} ms/kf")
+
+    # phase attribution (sync'd so no phase absorbs another's drain):
+    # proximity (device distance + one ~30 ms tunnel d2h + native NMS),
+    # then pyramid rebuild + the fused 8-iteration program
+    t_prox = t_dev = 0.0
+    breps = 3
+    for r in range(breps):
+        graph.age[:] = 0
+        t0 = time.perf_counter()
+        graph.add_proximity_factors(
+            T - 5, max(0, T - cfg.frontend_window), rad=cfg.frontend_radius,
+            nms=cfg.frontend_nms, thresh=cfg.frontend_thresh, remove=True,
+        )
+        sync()
+        t_prox += time.perf_counter() - t0
+        graph._pyr_dirty = True
+        t0 = time.perf_counter()
+        graph.update_n(8, use_inactive=True)
+        sync()
+        t_dev += time.perf_counter() - t0
+    prox_ms = 1e3 * t_prox / breps
+    dev_ms = 1e3 * t_dev / breps
+    log(f"frontend phases (sync'd): proximity {prox_ms:.1f} ms, "
+        f"pyramid+8-iter program {dev_ms:.1f} ms")
 
     # ---------------- backend global BA ----------------
     Tb = 128
