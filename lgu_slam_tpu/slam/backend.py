@@ -41,6 +41,18 @@ class Backend:
             self.video.dirty[:t] = True
 
         max_factors = min(16 * t, cfg.backend_edge_cap)
+        if 16 * t > cfg.backend_edge_cap:
+            # the reference global graph uses max_factors=16*t
+            # (droid_backend.py:34); a too-small cap silently
+            # under-constrains the final BA — make it loud
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"backend edge budget truncated: 16*t={16 * t} > "
+                f"backend_edge_cap={cfg.backend_edge_cap}; the global BA "
+                "runs with fewer factors than the reference protocol — "
+                "raise cfg.backend_edge_cap for full accuracy",
+                stacklevel=2)
         graph = FactorGraph(
             self.net_def, self.params, self.video, cfg, corr_impl="alt",
             max_factors=max_factors,

@@ -51,17 +51,27 @@ class TrajectoryFiller:
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
 
-        if N + BATCH > video.state.poses.shape[0]:
-            # no scratch headroom past the keyframes (tiny demo buffers):
-            # out-of-range scatters would silently drop — return the SE(3)
-            # interpolation without the motion-only BA refinement
-            import warnings  # noqa: PLC0415
+        # Scratch slots [N, N+BATCH) hold the fill frames during the
+        # motion-only BA.  When the keyframe buffer is full (exactly the
+        # long-sequence eval case, trajectory_filler.py:69-75 in the
+        # reference) we widen the state by BATCH temporary slots instead
+        # of skipping the refinement — the widened shapes compile once
+        # and the original state is restored afterwards.
+        buf = video.state.poses.shape[0]
+        orig_state = None
+        if N + BATCH > buf:
+            orig_state = video.state
+            pad = N + BATCH - buf
 
-            warnings.warn(
-                "trajectory filler: buffer too small for motion-only BA "
-                f"(counter={N}, buffer={video.state.poses.shape[0]}); "
-                "returning interpolated poses", stacklevel=2)
-            return [np.asarray(Gs[:M])]
+            def _widen(arr):
+                if arr.ndim == 0 or arr.shape[0] != buf:
+                    return arr  # e.g. the (1,1,1) disps_up placeholder
+                z = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
+                return jnp.concatenate([arr, z], axis=0)
+
+            video.state = type(orig_state)(
+                *[_widen(a) for a in orig_state]
+            )
 
         # write fill frames into scratch slots [N, N+BATCH)
         fd = video.state.fmaps.dtype
@@ -98,6 +108,8 @@ class TrajectoryFiller:
         graph.update_n(6, t0=N, t1=N + BATCH, motion_only=True)
 
         poses_out = np.asarray(video.state.poses[N : N + M])
+        if orig_state is not None:
+            video.state = orig_state  # drop the temporary widening
         video.counter = N
         return [poses_out]
 

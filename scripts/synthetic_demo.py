@@ -56,7 +56,9 @@ def main():
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--viewer", action="store_true")
     p.add_argument("--viewer_port", type=int, default=9876)
-    p.add_argument("--trajectory_path", default="synthetic_trajectory.txt")
+    p.add_argument("--trajectory_path", default=None,
+                   help="output trajectory file (default: inside the "
+                        "demo's tempdir, discarded on exit)")
     args = p.parse_args()
 
     from lgu_slam_tpu.utils.runtime import setup_runtime
@@ -70,6 +72,9 @@ def main():
 
     with tempfile.TemporaryDirectory() as td:
         img_dir, calib = generate_sequence(td, frames=args.frames)
+        if args.trajectory_path is None:
+            args.trajectory_path = os.path.join(
+                td, "synthetic_trajectory.txt")
 
         def make_stream():
             return image_stream(img_dir, calib, stride=1,

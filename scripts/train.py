@@ -60,11 +60,14 @@ def main():
         load_train_state, save_train_state,
     )
 
-    # training keeps fp32 correlation volumes: the differentiable patch
-    # lookup backprops through the volume, and bf16 storage (the SLAM
-    # inference default) would round the gradients there
+    # training keeps fp32 end to end: the differentiable patch lookup
+    # backprops through the volume (bf16 storage would round those
+    # gradients), and the same rounding argument applies to the encoder /
+    # update-operator conv compute (net.py keeps the fp32 compute default
+    # for training; bf16 is an inference-path choice)
     net, params = init_params(
-        SLAMConfig(image_size=tcfg.image_size, volume_dtype="float32")
+        SLAMConfig(image_size=tcfg.image_size, volume_dtype="float32",
+                   compute_dtype="float32", feat_dtype="float32")
     )
     total = 0
     restored_opt = None
