@@ -174,6 +174,33 @@ def main():
     log(f"frontend phases (sync'd): proximity {prox_ms:.1f} ms, "
         f"pyramid+8-iter program {dev_ms:.1f} ms")
 
+    # ---------------- per-frame motion filter ----------------
+    # runs on EVERY input frame (motion_filter.py:48-88): fnet encode +
+    # 1-edge masked corr + 1 GRU probe + the host-blocking float(delta)
+    # gate — the throughput a SLAM user feels between keyframes
+    from lgu_slam_tpu.slam.motion_filter import MotionFilter
+
+    mf = MotionFilter(net, params, video, cfg)
+    mf.thresh = 1e9  # never append during the bench
+    mf.fmap = jnp.asarray(video.state.fmaps[0, 0], jnp.float32)
+    mf.net = jnp.asarray(video.state.nets[0], jnp.float32)
+    mf.inp = jnp.asarray(video.state.inps[0], jnp.float32)
+    H, W = cfg.image_size
+    rng_np = np.random.default_rng(0)
+    frame_host = rng_np.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
+    intr_host = np.asarray([W / 2.0, W / 2.0, W / 4.0, H / 4.0], np.float32)
+    log("motion-filter warmup...")
+    for _ in range(2):
+        mf.track(0.0, frame_host, intrinsics=intr_host)
+    mreps = 10
+    t0 = time.perf_counter()
+    for r in range(mreps):
+        mf.track(float(r), frame_host, intrinsics=intr_host)
+    dt_mf = time.perf_counter() - t0
+    frames_per_s = mreps / dt_mf
+    log(f"motion filter: {1e3 * dt_mf / mreps:.1f} ms/frame "
+        f"({frames_per_s:.2f} frames/s incl. h2d + gate sync)")
+
     # ---------------- backend global BA ----------------
     Tb = 128
     video2 = Video(cfg)
@@ -216,6 +243,8 @@ def main():
                 "frontend_ms_per_kf": round(1e3 * dt / reps, 1),
                 "frontend_proximity_ms": round(prox_ms, 1),
                 "frontend_device_ms": round(dev_ms, 1),
+                "motion_filter_ms_per_frame": round(1e3 * dt_mf / mreps, 1),
+                "motion_filter_frames_per_s": round(frames_per_s, 2),
                 "backend_edges": int(bgraph.n_edges),
                 "backend_t": Tb,
                 "backend_update_lowmem12_s": round(dt_b, 2),

@@ -101,8 +101,9 @@ class ClipDataset:
         return len(self.items)
 
     def __getitem__(self, index):
-        """Returns (images [n,H,W,3] u8, poses [n,7] w2c, depths [n,H,W],
-        intrinsics [n,4]) — reference base.py:94-150."""
+        """Returns (images [n,H,W,3] u8, poses [n,7] camera-to-world,
+        depths [n,H,W], intrinsics [n,4]) — reference base.py:94-150.
+        The training step inverts the poses to w2c (train.py:112)."""
         scene, ix = self.items[index % len(self.items)]
         info = self.scene_info[scene]
         graph = info["graph"]

@@ -11,6 +11,17 @@ from lgu_slam_tpu import lie
 from lgu_slam_tpu.geom.projective import projective_transform
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm whose gradient is 0 (not NaN) at exactly 0.
+
+    ``jnp.linalg.norm`` backprops 0/0 at the origin; the geodesic loss
+    hits the origin *exactly* whenever an estimated relative pose equals
+    ground truth (always true at unroll step 1 for edges between the two
+    BA-fixed poses), which silently NaN-poisons every gradient."""
+    ss = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(ss, 1e-24))
+
+
 def _adjacent_edges(N: int):
     ii = jnp.asarray(
         [i for i in range(N) for j in (i - 1, i + 1) if 0 <= j < N]
@@ -43,8 +54,7 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True):
         d = lie.se3_log(lie.se3_mul(dG, lie.se3_inv(dP)))
         tau, phi = d[..., :3], d[..., 3:6]
         total = total + w * (
-            jnp.mean(jnp.linalg.norm(tau, axis=-1))
-            + jnp.mean(jnp.linalg.norm(phi, axis=-1))
+            jnp.mean(_safe_norm(tau)) + jnp.mean(_safe_norm(phi))
         )
 
     dE = lie.se3_mul(dG, lie.se3_inv(dP))
@@ -94,7 +104,7 @@ def flow_loss(Ps, disps, poses_est, disps_est, intrinsics, gamma=0.9):
         w = gamma ** (n - i - 1)
         coords1, val1 = transform(poses_est[i], disps_est[i])
         v = (val0 * val1)[..., 0]
-        epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+        epe = v * _safe_norm(coords1 - coords0)
         total = total + w * jnp.mean(epe)
 
     denom = jnp.maximum(jnp.sum(v), 1.0)

