@@ -219,7 +219,8 @@ def lowmem_steps_sharded(
                         iir, jjr, target_c, m_c, esl, num_slots,
                     )
                 live = m_c[:, None, None, None] > 0
-                net2 = jnp.where(live, net2, net_c)
+                # .astype: the backend hidden may be stored bf16
+                net2 = jnp.where(live, net2, net_c).astype(net_c.dtype)
                 target2 = jnp.where(live, target2, target_c)
                 weight2 = jnp.where(live, weight2, weight_c)
                 damping = _update_damping(damping, eta, fids, slot_mask)

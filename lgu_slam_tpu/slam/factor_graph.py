@@ -321,16 +321,27 @@ def _lowmem_loop_impl(
         net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = state
         vs = s0._replace(poses=poses, disps=disps)
 
-        def chunk_body(carry, xs):
-            damping, disps_up = carry
-            net_c, target_c, weight_c, ii_c, jj_c, iir, jjr, m_c, esl, fids \
-                = xs
+        # fori_loop + dynamic_update_slice instead of lax.scan: scan
+        # stacks its outputs into a SECOND [C, CH, ...] buffer, doubling
+        # the peak footprint of the per-edge GRU hidden (6.4 GB at the
+        # 8192-edge reference scale); the in-place carry updates alias
+        def chunk_body(c, carry):
+            net_ch, target_ch, weight_ch, damping, disps_up = carry
+            dyn = partial(jax.lax.dynamic_index_in_dim, keepdims=False,
+                          index=c, axis=0)
+            net_c = dyn(net_ch)
+            target_c = dyn(target_ch)
+            weight_c = dyn(weight_ch)
+            ii_c, jj_c = dyn(ii_ch), dyn(jj_ch)
+            iir, jjr = dyn(ii_rig_ch), dyn(jj_rig_ch)
+            m_c, esl, fids = dyn(mask_ch), dyn(edge_slot_ch), dyn(
+                frame_ids_ch)
             net2, target2, weight2, eta, upmask, slot_mask = _alt_update_op(
                 net_def, params, vs, fmap_pyr, net_c, ii_c, jj_c, iir, jjr,
                 target_c, m_c, esl, num_slots,
             )
             live = m_c[:, None, None, None] > 0
-            net2 = jnp.where(live, net2, net_c)
+            net2 = jnp.where(live, net2, net_c).astype(net_ch.dtype)
             target2 = jnp.where(live, target2, target_c)
             weight2 = jnp.where(live, weight2, weight_c)
             damping = _update_damping(damping, eta, fids, slot_mask)
@@ -338,13 +349,15 @@ def _lowmem_loop_impl(
                 disps_up = _upsample_slots(
                     disps, disps_up, upmask, fids, slot_mask
                 )
-            return (damping, disps_up), (net2, target2, weight2)
+            upd = lambda buf, x: jax.lax.dynamic_update_index_in_dim(  # noqa: E731
+                buf, x, c, axis=0)
+            return (upd(net_ch, net2), upd(target_ch, target2),
+                    upd(weight_ch, weight2), damping, disps_up)
 
-        (damping, disps_up), (net_ch, target_ch, weight_ch) = jax.lax.scan(
-            chunk_body,
-            (damping, disps_up),
-            (net_ch, target_ch, weight_ch, ii_ch, jj_ch, ii_rig_ch,
-             jj_rig_ch, mask_ch, edge_slot_ch, frame_ids_ch),
+        C = net_ch.shape[0]
+        (net_ch, target_ch, weight_ch, damping, disps_up) = jax.lax.fori_loop(
+            0, C, chunk_body,
+            (net_ch, target_ch, weight_ch, damping, disps_up),
         )
 
         tgt = target_ch.reshape((-1,) + target_ch.shape[2:])
@@ -367,7 +380,7 @@ def _lowmem_loop_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("net_def", "num_slots", "steps", "P", "dba_iters",
+    static_argnames=("net_def", "num_slots", "P", "dba_iters",
                      "upsample"),
     donate_argnums=(4, 5, 6),  # chunked net/target/weight staging buffers
 )
@@ -377,6 +390,49 @@ def _lowmem_loop(net_def, params, video_state, fmap_pyr, net_ch, target_ch,
     _lowmem_loop_impl)."""
     return _lowmem_loop_impl(net_def, params, video_state, fmap_pyr,
                              net_ch, target_ch, weight_ch, *rest, **kw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net_def", "C", "num_slots", "P", "dba_iters",
+                     "upsample"),
+    donate_argnums=(4, 5, 6),  # the graph's net/target/weight edge buffers
+)
+def _lowmem_fused(net_def, params, video_state, fmap_pyr, net_buf,
+                  target_buf, weight_buf, n_live, *rest, C, num_slots,
+                  **kw):
+    """ONE device program for the whole update_lowmem call: stage the
+    [E, ...] edge-slot buffers into [C, CH, ...] chunks, run the fused
+    steps x {GRU sweep, DBA} loop, and scatter the chunk results back.
+
+    The previous formulation did the staging gathers and scatter-backs as
+    ~40 eager dispatches around the loop jit — ~2.7 s of tunnel RTTs and
+    small-jit cache misses per warm call on the axon setup (cProfile'd),
+    dwarfing the ~0.5 s/step device program.  Slot indices are computed
+    in-graph from iota so the edge count ``n_live`` stays a traced scalar
+    (no recompile when the topology changes size)."""
+    E = net_buf.shape[0]
+    CH = num_slots
+    idx = jnp.arange(C * CH, dtype=jnp.int32)
+    in_slot = idx % E
+    h, w = net_buf.shape[1:3]
+    net_ch = net_buf[in_slot].reshape(C, CH, h, w, 128)
+    target_ch = target_buf[in_slot].reshape(C, CH, h, w, 2)
+    weight_ch = weight_buf[in_slot].reshape(C, CH, h, w, 2)
+
+    out = _lowmem_loop_impl(net_def, params, video_state, fmap_pyr,
+                            net_ch, target_ch, weight_ch, *rest,
+                            num_slots=num_slots, **kw)
+    net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
+
+    # pad rows (chunk slots past the live edge count) drop on scatter
+    out_slot = jnp.where(idx < n_live, idx, E)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+    net_buf = net_buf.at[out_slot].set(flat(net_ch), mode="drop")
+    target_buf = target_buf.at[out_slot].set(flat(target_ch), mode="drop")
+    weight_buf = weight_buf.at[out_slot].set(flat(weight_ch), mode="drop")
+    return (net_buf, target_buf, weight_buf, poses, disps, damping,
+            disps_up)
 
 
 @jax.jit
@@ -450,10 +506,18 @@ class FactorGraph:
         self.ii_bad = np.zeros(0, np.int32)
         self.jj_bad = np.zeros(0, np.int32)
 
-        # device edge-slot buffers (padded to E)
+        # device edge-slot buffers (padded to E).  The backend (alt impl)
+        # stores the per-edge GRU hidden in cfg.backend_hidden_dtype so
+        # the 16*t-edge global graph fits one chip's HBM; the frontend's
+        # small volume-impl graph keeps fp32.
+        hd = (
+            jnp.dtype(cfg.backend_hidden_dtype)
+            if corr_impl == "alt"
+            else jnp.float32
+        )
         self.target = jnp.zeros((self.E, h, w, 2), jnp.float32)
         self.weight = jnp.zeros((self.E, h, w, 2), jnp.float32)
-        self.net = jnp.zeros((self.E, h, w, 128), jnp.float32)
+        self.net = jnp.zeros((self.E, h, w, 128), hd)
         self.target_inac = jnp.zeros((self.EI, h, w, 2), jnp.float32)
         self.weight_inac = jnp.zeros((self.EI, h, w, 2), jnp.float32)
 
@@ -937,13 +1001,6 @@ class FactorGraph:
         (C, ii_ch, jj_ch, ii_rig_ch, jj_rig_ch, mask_ch, edge_slot_ch,
          frame_ids_ch) = self._lowmem_chunk_plan(CH)
 
-        # gather the slot buffers into [C, CH, ...] staging arrays
-        h, w = cfg.ht8, cfg.wd8
-        in_slot = jnp.asarray(np.arange(C * CH) % self.E)
-        net_ch = self.net[in_slot].reshape(C, CH, h, w, 128)
-        target_ch = self.target[in_slot].reshape(C, CH, h, w, 2)
-        weight_ch = self.weight[in_slot].reshape(C, CH, h, w, 2)
-
         # one DBA plan over the chunk-flattened edge list (topology is
         # fixed for the whole call)
         plan = DbaPlan.build_masked(
@@ -957,31 +1014,22 @@ class FactorGraph:
         t1_ = t if t1 is None else t1
         P = pose_bucket_for(cfg, t1_ - t0_)
 
-        out = _lowmem_loop(
+        # staging gather + loop + scatter-back fused into one program:
+        # eager gathers/scatters around the loop cost ~2.7 s of tunnel
+        # RTTs + small-jit misses per call (see _lowmem_fused)
+        out = _lowmem_fused(
             self.net_def, self.params, self.video.state, self.fmap_pyr,
-            net_ch, target_ch, weight_ch,
+            self.net, self.target, self.weight, jnp.int32(n),
             jnp.asarray(ii_ch), jnp.asarray(jj_ch),
             jnp.asarray(ii_rig_ch), jnp.asarray(jj_rig_ch),
             jnp.asarray(mask_ch), jnp.asarray(edge_slot_ch),
             jnp.asarray(frame_ids_ch),
             *plan.jax_arrays(), jnp.int32(t0_), jnp.int32(t1_),
-            num_slots=CH, steps=steps, P=P, dba_iters=itrs,
+            C=C, num_slots=CH, steps=jnp.int32(steps), P=P, dba_iters=itrs,
             lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, upsample=self.upsample,
         )
-        net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
-
-        # scatter staging buffers back to the live slots (pad rows drop)
-        out_slot = np.arange(C * CH)
-        out_slot[n:] = self.E
-        out_slot = jnp.asarray(out_slot)
-        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
-        self.net = self.net.at[out_slot].set(flat(net_ch), mode="drop")
-        self.target = self.target.at[out_slot].set(
-            flat(target_ch), mode="drop"
-        )
-        self.weight = self.weight.at[out_slot].set(
-            flat(weight_ch), mode="drop"
-        )
+        (self.net, self.target, self.weight, poses, disps, damping,
+         disps_up) = out
         s = self.video.state._replace(
             poses=poses, disps=disps, damping=damping
         )

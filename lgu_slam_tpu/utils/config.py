@@ -47,7 +47,9 @@ class SLAMConfig:
     pose_bucket: int = 40  # frontend BA window bucket
     frame_bucket: int = 48  # active-frame slots for GraphAgg/upsample
     frame_degree_bucket: int = 32  # initial rows-per-frame plan padding
-    backend_edge_cap: int = 1024  # global-BA edge budget (16*t capped)
+    # global-BA edge budget: 16*t at the reference's buffer=512 scale
+    # (droid_backend.py:34); Backend warns when 16*t exceeds it
+    backend_edge_cap: int = 8192
     backend_chunk: int = 128  # low-memory update edge chunk
     backend_sub_chunk: int = 8  # volume-corr edge sub-chunk (TPU alt path)
     add_chunk: int = 32  # new-edge batch granularity
@@ -61,6 +63,11 @@ class SLAMConfig:
     volume_dtype: str = "bfloat16"  # corr pyramid storage
     feat_dtype: str = "bfloat16"  # cached fmaps/nets/inps in the video
     compute_dtype: str = "bfloat16"  # update-operator conv compute dtype
+    # backend (alt-impl) per-edge GRU hidden storage: bf16 keeps the
+    # 16*t-edge global graph inside one chip's HBM (8192 edges x 48x64
+    # x 128ch = 6.4 GB vs 12.9 fp32); the reference stores inference
+    # state under fp16 autocast (motion_filter.py autocast / droid.py)
+    backend_hidden_dtype: str = "bfloat16"
 
     @property
     def ht8(self):

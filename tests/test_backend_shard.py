@@ -28,7 +28,7 @@ def make_cfg():
         image_size=(64, 96), buffer=16, warmup=4,
         max_factors=64, edge_bucket=64, inactive_bucket=8,
         pose_bucket=16, backend_edge_cap=64, backend_chunk=8,
-        compute_dtype="float32",
+        compute_dtype="float32", backend_hidden_dtype="float32",
     )
 
 

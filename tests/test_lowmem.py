@@ -21,7 +21,7 @@ def make_cfg():
         image_size=(64, 96), buffer=16, warmup=4,
         max_factors=24, edge_bucket=32, inactive_bucket=8,
         pose_bucket=8, backend_edge_cap=32, backend_chunk=8,
-        compute_dtype="float32",
+        compute_dtype="float32", backend_hidden_dtype="float32",
     )
 
 
