@@ -201,25 +201,27 @@ def main():
     log(f"motion filter: {1e3 * dt_mf / mreps:.1f} ms/frame "
         f"({frames_per_s:.2f} frames/s incl. h2d + gate sync)")
 
-    # ---------------- backend global BA ----------------
-    Tb = 128
+    # ---------------- backend global BA at reference scale ----------------
+    # terminate() runs the global graph over ALL keyframes with
+    # max_factors = 16*t (droid_backend.py:34); t=512 is the reference's
+    # standard buffer — 8192 proximity edges, bf16 GRU hidden
+    Tb = 512
     video2 = Video(cfg)
     video2.counter = Tb
     video2.state = stage(video2.state, jax.random.PRNGKey(1), Tb)
     sync()
     log(f"backend state staged (t={Tb})")
 
+    budget = min(16 * Tb, cfg.backend_edge_cap)
     bgraph = FactorGraph(
         net, params, video2, cfg, corr_impl="alt",
-        max_factors=min(16 * Tb, cfg.backend_edge_cap),
-        edge_bucket=cfg.backend_edge_cap, inactive_bucket=8,
+        max_factors=budget, edge_bucket=budget, inactive_bucket=8,
     )
     bgraph.add_proximity_factors(
         0, 0, rad=cfg.backend_radius, nms=cfg.backend_nms,
-        thresh=cfg.backend_thresh * 4, beta=cfg.beta, remove=False,
+        thresh=cfg.backend_thresh * 8, beta=cfg.beta, remove=False,
     )
-    log(f"backend graph: {bgraph.n_edges} edges "
-        f"(budget {min(16 * Tb, cfg.backend_edge_cap)})")
+    log(f"backend graph: {bgraph.n_edges} edges (budget {budget})")
 
     log("backend warmup (compiles update_lowmem)...")
     bgraph.update_lowmem(t0=1, t1=Tb, steps=1, itrs=2)

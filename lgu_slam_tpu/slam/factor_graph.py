@@ -135,7 +135,7 @@ def _add_edge_slots(target, weight, netbuf, poses, disps, intrinsics, nets,
     target = target.at[rows].set(coords, mode="drop")
     weight = weight.at[rows].set(0.0, mode="drop")
     netbuf = netbuf.at[rows].set(
-        nets[ii_c].astype(jnp.float32), mode="drop"
+        nets[ii_c].astype(netbuf.dtype), mode="drop"
     )
     return target, weight, netbuf
 
@@ -414,23 +414,40 @@ def _lowmem_fused(net_def, params, video_state, fmap_pyr, net_buf,
     E = net_buf.shape[0]
     CH = num_slots
     idx = jnp.arange(C * CH, dtype=jnp.int32)
-    in_slot = idx % E
     h, w = net_buf.shape[1:3]
-    net_ch = net_buf[in_slot].reshape(C, CH, h, w, 128)
-    target_ch = target_buf[in_slot].reshape(C, CH, h, w, 2)
-    weight_ch = weight_buf[in_slot].reshape(C, CH, h, w, 2)
+    if C * CH == E:
+        # all chunk slots map 1:1 to edge slots: stage as a free reshape
+        # (the iota-modulo gather below is not reliably recognized as
+        # one, and at the 8192-edge scale the copy is 6.4 GB)
+        net_ch = net_buf.reshape(C, CH, h, w, 128)
+        target_ch = target_buf.reshape(C, CH, h, w, 2)
+        weight_ch = weight_buf.reshape(C, CH, h, w, 2)
+    else:
+        in_slot = idx % E
+        net_ch = net_buf[in_slot].reshape(C, CH, h, w, 128)
+        target_ch = target_buf[in_slot].reshape(C, CH, h, w, 2)
+        weight_ch = weight_buf[in_slot].reshape(C, CH, h, w, 2)
 
     out = _lowmem_loop_impl(net_def, params, video_state, fmap_pyr,
                             net_ch, target_ch, weight_ch, *rest,
                             num_slots=num_slots, **kw)
     net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
 
-    # pad rows (chunk slots past the live edge count) drop on scatter
-    out_slot = jnp.where(idx < n_live, idx, E)
     flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
-    net_buf = net_buf.at[out_slot].set(flat(net_ch), mode="drop")
-    target_buf = target_buf.at[out_slot].set(flat(target_ch), mode="drop")
-    weight_buf = weight_buf.at[out_slot].set(flat(weight_ch), mode="drop")
+    if C * CH == E:
+        # masked slots pass through the loop unchanged (live=False keeps
+        # the old row), so the un-staging is a free reshape too
+        net_buf = flat(net_ch)
+        target_buf = flat(target_ch)
+        weight_buf = flat(weight_ch)
+    else:
+        # pad rows (chunk slots past the live edge count) drop on scatter
+        out_slot = jnp.where(idx < n_live, idx, E)
+        net_buf = net_buf.at[out_slot].set(flat(net_ch), mode="drop")
+        target_buf = target_buf.at[out_slot].set(
+            flat(target_ch), mode="drop")
+        weight_buf = weight_buf.at[out_slot].set(
+            flat(weight_ch), mode="drop")
     return (net_buf, target_buf, weight_buf, poses, disps, damping,
             disps_up)
 

@@ -54,6 +54,30 @@ def _flow_probe(net_def, params, fmap0, fmap1, net, inp):
     return jnp.mean(jnp.linalg.norm(delta[0, 0], axis=-1))
 
 
+@partial(jax.jit, static_argnames=("net_def",))
+def _encode_and_probe(net_def, params, image, fmap0, net, inp):
+    """Per-frame hot path as ONE program: fnet encode + 1-edge probe.
+
+    Every host-blocking round-trip over the axon tunnel costs ~27 ms;
+    fusing the encode and the probe leaves exactly one dispatch + one
+    scalar d2h (the keyframe gate) per non-keyframe frame."""
+    x = normalize_images(image[None])
+    gmap = net_def.apply({"params": params}, x, method=LGUNet.features)[0]
+    pyr = net_def.apply(
+        {"params": params}, fmap0[None], gmap[None], method=LGUNet.build_corr
+    )
+    h, w = gmap.shape[:2]
+    coords0 = coords_grid(h, w)[None]
+    corr = net_def.apply(
+        {"params": params}, pyr, coords0, method=LGUNet.lookup
+    )
+    _, delta, _ = net_def.apply(
+        {"params": params}, net[None, None], inp[None, None], corr[None],
+        method=LGUNet.update_step,
+    )
+    return gmap, jnp.mean(jnp.linalg.norm(delta[0, 0], axis=-1))
+
+
 def subsample_depth(depth: np.ndarray) -> np.ndarray:
     """Full-res depth -> 1/8 sensed disparity (depth_video.py:64-66)."""
     d = depth[3::8, 3::8]
@@ -82,7 +106,15 @@ class MotionFilter:
         img0 = image[0] if stereo else image
         img_j = jnp.asarray(img0)
 
-        gmap = _encode_features(self.net_def, self.params, img_j)
+        delta_dev = None
+        if self.video.counter == 0 or stereo:
+            gmap = _encode_features(self.net_def, self.params, img_j)
+        else:
+            # mono steady state: encode + probe in one dispatch
+            gmap, delta_dev = _encode_and_probe(
+                self.net_def, self.params, img_j, self.fmap, self.net,
+                self.inp,
+            )
         if stereo:
             gmap1 = _encode_features(
                 self.net_def, self.params, jnp.asarray(image[1])
@@ -111,11 +143,12 @@ class MotionFilter:
             )
             return True
 
-        delta = float(
-            _flow_probe(
-                self.net_def, self.params, self.fmap, gmap, self.net, self.inp
+        if delta_dev is None:  # stereo path: probe on the left camera
+            delta_dev = _flow_probe(
+                self.net_def, self.params, self.fmap, gmap, self.net,
+                self.inp,
             )
-        )
+        delta = float(delta_dev)
         if delta > self.thresh:
             self.count = 0
             net, inp = _encode_context(self.net_def, self.params, img_j)

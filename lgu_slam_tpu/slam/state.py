@@ -205,9 +205,22 @@ class Video:
 @functools.partial(jax.jit, static_argnames=("Bi", "Bj"))
 def _distance_rect_padded(poses, disps, intr, i0, j0, beta, Bi, Bj):
     N = poses.shape[0]
-    ii = jnp.clip(i0 + jnp.arange(Bi, dtype=jnp.int32), 0, N - 1)
-    jj = jnp.clip(j0 + jnp.arange(Bj, dtype=jnp.int32), 0, N - 1)
-    ii = jnp.repeat(ii, Bj)
-    jj = jnp.tile(jj, Bi)
-    d = frame_distance_bidirectional(poses, disps, intr, ii, jj, beta)
-    return d.reshape(Bi, Bj)
+    jj_row = jnp.clip(j0 + jnp.arange(Bj, dtype=jnp.int32), 0, N - 1)
+    if Bi * Bj <= 4096:
+        ii = jnp.clip(i0 + jnp.arange(Bi, dtype=jnp.int32), 0, N - 1)
+        ii = jnp.repeat(ii, Bj)
+        jj = jnp.tile(jj_row, Bi)
+        d = frame_distance_bidirectional(poses, disps, intr, ii, jj, beta)
+        return d.reshape(Bi, Bj)
+
+    # large rectangles (backend terminate() plans over the FULL t x t
+    # grid — 512x512 = 262k pairs whose per-pixel flow intermediates
+    # would need ~36 GB dense): evaluate row-by-row under lax.map so the
+    # peak is one row's [Bj, h, w, 2] flow buffer
+    def row(i):
+        ii = jnp.full((Bj,), jnp.clip(i0 + i, 0, N - 1), jnp.int32)
+        return frame_distance_bidirectional(
+            poses, disps, intr, ii, jj_row, beta
+        )
+
+    return jax.lax.map(row, jnp.arange(Bi, dtype=jnp.int32))

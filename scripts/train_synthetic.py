@@ -173,6 +173,9 @@ def main():
     p.add_argument("--frames_per_scene", type=int, default=24)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--holdout", action="store_true")
+    p.add_argument("--holdout_from", default=None,
+                   help="skip training; run the holdout ATE comparison "
+                        "with weights from this checkpoint")
     p.add_argument("--holdout_frames", type=int, default=30)
     p.add_argument("--out", default="checkpoints/synthetic_proof.pkl")
     p.add_argument("--summary", default="synthetic_training_summary.json")
@@ -198,6 +201,22 @@ def main():
     import jax
 
     params_random = jax.tree_util.tree_map(np.asarray, params0)
+
+    if args.holdout_from:
+        from lgu_slam_tpu.utils.checkpoint import load_train_state
+
+        params, _, step, _ = load_train_state(args.holdout_from)
+        print(f"[train_synth] holdout-only from {args.holdout_from} "
+              f"(step {step})")
+        ate = run_holdout(args, net, params, params_random, (H, W))
+        with open(args.summary, "w") as fh:
+            json.dump({"holdout_ate": ate}, fh, indent=2)
+        print(json.dumps({"holdout_ate": ate}))
+        assert ate["trained"] < ate["random"], (
+            "trained weights did not beat random-init ATE"
+        )
+        print("[train_synth] TRAINED WEIGHTS BEAT RANDOM INIT")
+        return
 
     params, history, elapsed = run_training(args, tcfg, net, params0)
 
