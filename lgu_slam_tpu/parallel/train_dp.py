@@ -25,12 +25,22 @@ from lgu_slam_tpu.utils.config import TrainConfig
 
 
 def make_optimizer(cfg: TrainConfig):
-    """Adam + OneCycle LR (train.py:78-81) + global-norm clip (:163)."""
+    """Adam + OneCycle LR (train.py:78-81) + global-norm clip (:163).
+
+    The phase boundaries are clamped to at least ~1.5 steps apart:
+    optax.linear_onecycle_schedule floors its boundaries, and when
+    ``pct_start * transition_steps < 1`` (short proof/debug runs) the
+    first interval collapses to zero length and the ENTIRE schedule
+    evaluates to NaN (0/0), silently NaN-ing every parameter at the
+    first optimizer step."""
+    total = max(int(cfg.steps), 4)
+    pct_start = min(max(cfg.pct_start, 1.5 / total), 0.45)
+    pct_final = max(min(0.99, 1.0 - 1.5 / total), pct_start + 1.5 / total)
     schedule = optax.linear_onecycle_schedule(
-        transition_steps=cfg.steps,
+        transition_steps=total,
         peak_value=cfg.lr,
-        pct_start=cfg.pct_start,
-        pct_final=0.99,
+        pct_start=pct_start,
+        pct_final=pct_final,
     )
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip),
