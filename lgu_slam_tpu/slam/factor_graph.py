@@ -316,66 +316,66 @@ def _lowmem_loop_impl(
     disps_up0 = s0.disps_up if upsample else jnp.zeros((0,), jnp.float32)
     state = (net_ch, target_ch, weight_ch, s0.poses, s0.disps,
              s0.damping, disps_up0)
+    C = net_ch.shape[0]
 
-    def step_body(_, state):
+    # ONE flat fori_loop over steps*C iterations (chunk c = i % C, with
+    # the global DBA cond-guarded onto each step's last chunk) instead of
+    # nested {steps, chunks} loops: XLA copies the inner loop's carry
+    # from the outer carry every outer iteration, which materialized a
+    # second full-size hidden buffer (6 GB at the 8192-edge scale, the
+    # t=512 OOM).  dynamic_update_slice keeps the carry updates in place.
+    def body(i, state):
         net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = state
+        c = jax.lax.rem(i, C)
         vs = s0._replace(poses=poses, disps=disps)
 
-        # fori_loop + dynamic_update_slice instead of lax.scan: scan
-        # stacks its outputs into a SECOND [C, CH, ...] buffer, doubling
-        # the peak footprint of the per-edge GRU hidden (6.4 GB at the
-        # 8192-edge reference scale); the in-place carry updates alias
-        def chunk_body(c, carry):
-            net_ch, target_ch, weight_ch, damping, disps_up = carry
-            dyn = partial(jax.lax.dynamic_index_in_dim, keepdims=False,
-                          index=c, axis=0)
-            net_c = dyn(net_ch)
-            target_c = dyn(target_ch)
-            weight_c = dyn(weight_ch)
-            ii_c, jj_c = dyn(ii_ch), dyn(jj_ch)
-            iir, jjr = dyn(ii_rig_ch), dyn(jj_rig_ch)
-            m_c, esl, fids = dyn(mask_ch), dyn(edge_slot_ch), dyn(
-                frame_ids_ch)
-            net2, target2, weight2, eta, upmask, slot_mask = _alt_update_op(
-                net_def, params, vs, fmap_pyr, net_c, ii_c, jj_c, iir, jjr,
-                target_c, m_c, esl, num_slots,
+        dyn = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            a, c, axis=0, keepdims=False)
+        net2, target2, weight2, eta, upmask, slot_mask = _alt_update_op(
+            net_def, params, vs, fmap_pyr, dyn(net_ch), dyn(ii_ch),
+            dyn(jj_ch), dyn(ii_rig_ch), dyn(jj_rig_ch), dyn(target_ch),
+            dyn(mask_ch), dyn(edge_slot_ch), num_slots,
+        )
+        m_c = dyn(mask_ch)
+        fids = dyn(frame_ids_ch)
+        live = m_c[:, None, None, None] > 0
+        net2 = jnp.where(live, net2, dyn(net_ch)).astype(net_ch.dtype)
+        target2 = jnp.where(live, target2, dyn(target_ch))
+        weight2 = jnp.where(live, weight2, dyn(weight_ch))
+        damping = _update_damping(damping, eta, fids, slot_mask)
+        if upsample:
+            disps_up = _upsample_slots(
+                disps, disps_up, upmask, fids, slot_mask
             )
-            live = m_c[:, None, None, None] > 0
-            net2 = jnp.where(live, net2, net_c).astype(net_ch.dtype)
-            target2 = jnp.where(live, target2, target_c)
-            weight2 = jnp.where(live, weight2, weight_c)
-            damping = _update_damping(damping, eta, fids, slot_mask)
-            if upsample:
-                disps_up = _upsample_slots(
-                    disps, disps_up, upmask, fids, slot_mask
-                )
-            upd = lambda buf, x: jax.lax.dynamic_update_index_in_dim(  # noqa: E731
-                buf, x, c, axis=0)
-            return (upd(net_ch, net2), upd(target_ch, target2),
-                    upd(weight_ch, weight2), damping, disps_up)
+        upd = lambda buf, x: jax.lax.dynamic_update_index_in_dim(  # noqa: E731
+            buf, x, c, axis=0)
+        net_ch = upd(net_ch, net2)
+        target_ch = upd(target_ch, target2)
+        weight_ch = upd(weight_ch, weight2)
 
-        C = net_ch.shape[0]
-        (net_ch, target_ch, weight_ch, damping, disps_up) = jax.lax.fori_loop(
-            0, C, chunk_body,
-            (net_ch, target_ch, weight_ch, damping, disps_up),
-        )
+        def run_dba(args):
+            poses, disps, target_ch, weight_ch, damping = args
+            tgt = target_ch.reshape((-1,) + target_ch.shape[2:])
+            wgt = weight_ch.reshape((-1,) + weight_ch.shape[2:])
+            wgt = wgt * dba_mask[:, None, None, None]
+            eta_dense = 0.2 * damping + EP
+            poses, disps = dba_step(
+                poses, disps, s0.intrinsics[0], s0.disps_sens, tgt, wgt,
+                eta_dense,
+                dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
+                dba_edge_slot, rows_of_frame, t0, t1,
+                P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=False,
+            )
+            return poses, jnp.maximum(disps, 1e-3)
 
-        tgt = target_ch.reshape((-1,) + target_ch.shape[2:])
-        wgt = weight_ch.reshape((-1,) + weight_ch.shape[2:])
-        wgt = wgt * dba_mask[:, None, None, None]
-        eta_dense = 0.2 * damping + EP
-        poses, disps = dba_step(
-            poses, disps, s0.intrinsics[0], s0.disps_sens, tgt, wgt,
-            eta_dense,
-            dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
-            dba_edge_slot, rows_of_frame, t0, t1,
-            P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=False,
+        poses, disps = jax.lax.cond(
+            c == C - 1, run_dba, lambda args: (args[0], args[1]),
+            (poses, disps, target_ch, weight_ch, damping),
         )
-        disps = jnp.maximum(disps, 1e-3)
         return (net_ch, target_ch, weight_ch, poses, disps, damping,
                 disps_up)
 
-    return jax.lax.fori_loop(0, steps, step_body, state)
+    return jax.lax.fori_loop(0, steps * C, body, state)
 
 
 @partial(
