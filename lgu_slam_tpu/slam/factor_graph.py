@@ -198,6 +198,7 @@ def _update_loop_impl(
     ep: float = 0.1,
     EP: float = 1e-7,
     motion_only: bool = False,
+    t0_quirk: bool = False,
 ):
     """``n_iters`` x {GRU update + DBA} as ONE jit — the frontend's 8-step
     inner loop (droid_frontend.py:50-51) without per-iteration host
@@ -227,6 +228,7 @@ def _update_loop_impl(
             dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
             dba_edge_slot, rows_of_frame, t0, t1,
             P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=motion_only,
+            strict_t0_quirk=t0_quirk,
         )
         return (net2, target2, weight2, poses2, disps2, damping2,
                 upmask.astype(jnp.float32))
@@ -236,7 +238,7 @@ def _update_loop_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
+    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters", "t0_quirk",
                      "motion_only"),
     donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
 )
@@ -249,7 +251,7 @@ def _update_loop(net_def, params, video_state, pyr, net, *rest, **kw):
 
 @partial(
     jax.jit,
-    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters",
+    static_argnames=("net_def", "num_slots", "n_iters", "P", "dba_iters", "t0_quirk",
                      "motion_only"),
     donate_argnums=(4, 7, 8),  # net, target, weight buffers reused in place
 )
@@ -306,6 +308,7 @@ def _lowmem_loop_impl(
     ep: float = 0.1,
     EP: float = 1e-7,
     upsample: bool = False,
+    t0_quirk: bool = False,
 ):
     """``steps`` x {scan over edge chunks of fused-corr GRU updates, then
     one global DBA} as ONE device program — the backend's update_lowmem
@@ -365,6 +368,7 @@ def _lowmem_loop_impl(
                 dba_ii, dba_jj, dba_mask, dba_kf_ids, dba_kf_mask,
                 dba_edge_slot, rows_of_frame, t0, t1,
                 P=P, iters=dba_iters, lm=lm, ep=ep, motion_only=False,
+                strict_t0_quirk=t0_quirk,
             )
             return poses, jnp.maximum(disps, 1e-3)
 
@@ -381,7 +385,7 @@ def _lowmem_loop_impl(
 @partial(
     jax.jit,
     static_argnames=("net_def", "num_slots", "P", "dba_iters",
-                     "upsample"),
+                     "upsample", "t0_quirk"),
     donate_argnums=(4, 5, 6),  # chunked net/target/weight staging buffers
 )
 def _lowmem_loop(net_def, params, video_state, fmap_pyr, net_ch, target_ch,
@@ -395,7 +399,7 @@ def _lowmem_loop(net_def, params, video_state, fmap_pyr, net_ch, target_ch,
 @partial(
     jax.jit,
     static_argnames=("net_def", "C", "num_slots", "P", "dba_iters",
-                     "upsample"),
+                     "upsample", "t0_quirk"),
     donate_argnums=(4, 5, 6),  # the graph's net/target/weight edge buffers
 )
 def _lowmem_fused(net_def, params, video_state, fmap_pyr, net_buf,
@@ -859,6 +863,7 @@ class FactorGraph:
         loop_kw = dict(
             num_slots=F, n_iters=n, P=P, dba_iters=itrs,
             lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, motion_only=motion_only,
+            t0_quirk=cfg.strict_t0_quirk,
         )
         if fuse_build:
             self.pyramid, out = _build_and_update_loop(
@@ -956,7 +961,7 @@ class FactorGraph:
             *plan.jax_arrays(),
             jnp.int32(t0), jnp.int32(t1),
             P=P, iters=itrs, lm=cfg.dba_lm, ep=cfg.dba_ep,
-            motion_only=motion_only,
+            motion_only=motion_only, strict_t0_quirk=cfg.strict_t0_quirk,
         )
         self.video.state = s._replace(
             poses=poses, disps=jnp.maximum(disps, 1e-3)
@@ -1044,6 +1049,7 @@ class FactorGraph:
             *plan.jax_arrays(), jnp.int32(t0_), jnp.int32(t1_),
             C=C, num_slots=CH, steps=jnp.int32(steps), P=P, dba_iters=itrs,
             lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, upsample=self.upsample,
+            t0_quirk=cfg.strict_t0_quirk,
         )
         (self.net, self.target, self.weight, poses, disps, damping,
          disps_up) = out

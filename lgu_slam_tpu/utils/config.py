@@ -58,6 +58,11 @@ class SLAMConfig:
     dba_iters: int = 2
     dba_lm: float = 1e-4
     dba_ep: float = 0.1
+    # reproduce ba_cuda's back-substitution guard that skips pose t0
+    # (droid_kernels.cu:1105-1106) — flip for checkpoint-parity ATE runs
+    # (geom/dba.py strict_t0_quirk); off by default: including t0 keeps
+    # the depth back-substitution consistent with the pose solve
+    strict_t0_quirk: bool = False
 
     # precision
     volume_dtype: str = "bfloat16"  # corr pyramid storage
