@@ -40,6 +40,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lgu_slam_tpu.parallel.dba_shard import sharded_dba_iters
 
+# jitted shard_map programs keyed by static config (see lowmem_steps_sharded)
+_SHARDED_LOWMEM_CACHE: dict = {}
+
 
 @dataclass
 class ShardedLowmemPlan:
@@ -264,18 +267,25 @@ def lowmem_steps_sharded(
                  s0.damping, disps_up0)
         return jax.lax.fori_loop(0, steps, step_body, state)
 
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(), P(),
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(axis),
-        ),
-        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
-        check_vma=False,
-    )
-    fn = jax.jit(fn)
+    # cache the jitted shard_map per static configuration: jit keys on
+    # function identity, so a fresh closure per call would retrace (and
+    # over a tunnel, recompile) every update_lowmem invocation
+    cache_key = (mesh, axis, net_def, num_slots, int(steps), Pb,
+                 dba_iters, lm, ep, EP, upsample, C, CH)
+    fn = _SHARDED_LOWMEM_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(), P(),
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            ),
+            out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _SHARDED_LOWMEM_CACHE[cache_key] = fn
     return fn(
         params, video_state, fmap_pyr, jnp.asarray(t0, jnp.int32),
         jnp.asarray(t1, jnp.int32), net_ch, target_ch, weight_ch,
