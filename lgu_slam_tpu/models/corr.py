@@ -148,15 +148,23 @@ def build_corr_pyramid(
     mean, cov, det = ga_predict_fn(t)
 
     if use_pallas is None:
-        from lgu_slam_tpu.ops.pallas_corr import TILE_P  # noqa: PLC0415
+        if pack is False:
+            # training forward: the fused Pallas build is forward-only
+            # (no VJP); gradients need the XLA formulation on every
+            # backend, TPU included
+            use_pallas = False
+        else:
+            from lgu_slam_tpu.ops.pallas_corr import TILE_P  # noqa: PLC0415
 
-        # honour an active jax.default_device(cpu) override (used to
-        # initialize parameters host-side): Pallas has no CPU lowering
-        dd = jax.config.jax_default_device
-        platform = dd.platform if dd is not None else jax.default_backend()
-        use_pallas = platform == "tpu" and (
-            P % TILE_P == 0 or P <= 1500
-        )
+            # honour an active jax.default_device(cpu) override (used to
+            # initialize parameters host-side): Pallas has no CPU lowering
+            dd = jax.config.jax_default_device
+            platform = dd.platform if dd is not None else (
+                jax.default_backend()
+            )
+            use_pallas = platform == "tpu" and (
+                P % TILE_P == 0 or P <= 1500
+            )
 
     def masked_level0(f1, f2, mean_c, cov_c, det_c):
         corr = all_pairs_correlation(f1, f2)  # fp32

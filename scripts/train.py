@@ -85,8 +85,18 @@ def main():
         else tx.init(params)
     )
 
-    db = dataset_factory(["tartan"], args.datapath, n_frames=tcfg.n_frames,
-                         fmin=tcfg.fmin, fmax=tcfg.fmax)
+    if args.datapath == "synthetic":
+        # offline stand-in: ray-traced multi-billboard clips with exact
+        # ground truth (data/synthetic.py) — same item contract as the
+        # TartanAir clip dataset
+        from lgu_slam_tpu.data.synthetic import SyntheticDataset
+
+        db = SyntheticDataset(n_frames=tcfg.n_frames,
+                              crop_size=tcfg.image_size)
+    else:
+        db = dataset_factory(["tartan"], args.datapath,
+                             n_frames=tcfg.n_frames,
+                             fmin=tcfg.fmin, fmax=tcfg.fmax)
     aug = RGBDAugmentor(crop_size=tcfg.image_size)
     rng = np.random.default_rng(0)
     if restored_rng is not None:
