@@ -45,7 +45,10 @@ def chain_kernel(v_ref, s_ref, out_ref):
 def sublane_kernel(v_ref, s_ref, out_ref):
     V = v_ref[0].astype(jnp.float32)  # [TP, S, 128]
     s_t = s_ref[0]  # [TP, 128]
-    out_ref[0] = jnp.take_along_axis(V, s_t[:, None, :], axis=1)[:, 0, :]
+    # flatten to a 2D sublane gather: out[t, l] = V2[t*S + s_t[t,l], l]
+    V2 = V.reshape(TP * S, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TP, 128), 0) * S + s_t
+    out_ref[0] = jnp.take_along_axis(V2, row, axis=0)
 
 
 def run(kern, v, st, interpret):
