@@ -204,11 +204,24 @@ def main():
     # ---------------- backend global BA at reference scale ----------------
     # terminate() runs the global graph over ALL keyframes with
     # max_factors = 16*t (droid_backend.py:34); t=512 is the reference's
-    # standard buffer — 8192 proximity edges, bf16 GRU hidden
+    # standard buffer — 8192 proximity edges, bf16 GRU hidden.  The
+    # frontend's buffers (packed 48-edge pyramid ~1.6 GB + 512-slot video
+    # state) must be freed first: the t=512 pass peaks near the 16 GB
+    # HBM limit on its own (droid.py:79 likewise frees the frontend
+    # before terminate()'s global passes).
+    import gc
+
+    del graph, video, mf
+    gc.collect()
+
     Tb = 512
     video2 = Video(cfg)
     video2.counter = Tb
     video2.state = stage(video2.state, jax.random.PRNGKey(1), Tb)
+
+    def sync():  # noqa: F811 — the frontend video was freed above
+        np.asarray(video2.state.poses.reshape(-1)[0:1])
+
     sync()
     log(f"backend state staged (t={Tb})")
 
