@@ -11,7 +11,7 @@ from lgu_slam_tpu import lie
 from lgu_slam_tpu.geom.projective import projective_transform
 
 
-def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """L2 norm whose gradient is 0 (not NaN) at exactly 0.
 
     ``jnp.linalg.norm`` backprops 0/0 at the origin; the geodesic loss
@@ -54,7 +54,7 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True):
         d = lie.se3_log(lie.se3_mul(dG, lie.se3_inv(dP)))
         tau, phi = d[..., :3], d[..., 3:6]
         total = total + w * (
-            jnp.mean(_safe_norm(tau)) + jnp.mean(_safe_norm(phi))
+            jnp.mean(safe_norm(tau)) + jnp.mean(safe_norm(phi))
         )
 
     dE = lie.se3_mul(dG, lie.se3_inv(dP))
@@ -104,7 +104,7 @@ def flow_loss(Ps, disps, poses_est, disps_est, intrinsics, gamma=0.9):
         w = gamma ** (n - i - 1)
         coords1, val1 = transform(poses_est[i], disps_est[i])
         v = (val0 * val1)[..., 0]
-        epe = v * _safe_norm(coords1 - coords0)
+        epe = v * safe_norm(coords1 - coords0)
         total = total + w * jnp.mean(epe)
 
     denom = jnp.maximum(jnp.sum(v), 1.0)

@@ -179,12 +179,12 @@ class LGUNet(nn.Module):
 
             if step > num_steps - 6:
                 # Gaussian-NLL auxiliary loss (droid_net.py:225-227)
-                # sqrt(max(.)) norm: invalid pixels are exact zeros and
+                # safe norm: invalid pixels are exact zeros and
                 # jnp.linalg.norm backprops NaN (0/0) at the origin
-                cn = jnp.sqrt(jnp.maximum(
-                    jnp.sum((coords1 * valid) ** 2, axis=-1), 1e-24))
-                mn = jnp.sqrt(jnp.maximum(
-                    jnp.sum((mean_n * valid) ** 2, axis=-1), 1e-24))
+                from lgu_slam_tpu.geom.losses import safe_norm  # noqa: PLC0415
+
+                cn = safe_norm(coords1 * valid)
+                mn = safe_norm(mean_n * valid)
                 t = jnp.maximum(theta, 1e-6)
                 nll.append(
                     jnp.mean(jnp.abs(cn - mn) / (2 * t) + jnp.log(jnp.sqrt(t)))

@@ -18,7 +18,7 @@ so BOTH phases of every step run shard-local:
 target/weight/net edge buffers never cross devices: the only collectives
 are the damping psum and the DBA's Schur/rhs psums.  The whole
 ``steps x {GRU sweep, DBA}`` loop is ONE shard_map program (the fused
-single-device path's sharded twin, factor_graph._lowmem_loop).
+single-device path's sharded twin, factor_graph._lowmem_fused).
 
 Chunk-composition note: GraphAgg aggregates per-frame statistics over the
 edges *within a chunk* (as the reference does per host chunk).  Sharding
@@ -178,6 +178,7 @@ def lowmem_steps_sharded(
     ep: float = 0.1,
     EP: float = 1e-7,
     upsample: bool = False,
+    t0_quirk: bool = False,
 ):
     """steps x {sharded GRU chunk sweep, sharded DBA} as ONE shard_map
     program.  Returns (net_ch, target_ch, weight_ch, poses, disps,
@@ -253,11 +254,11 @@ def lowmem_steps_sharded(
             wgt = weight_ch.reshape(Es, h, w, 2) \
                 * mask_e[:, None, None, None]
             eta_dense = 0.2 * damping + EP
-            poses, disps = sharded_dba_iters(
+            poses, disps = sharded_dba_iters(  # noqa: PLR0913
                 axis, poses, disps, s0.intrinsics[0], s0.disps_sens,
                 eta_dense, t0, t1, tgt, wgt, ii_e, jj_e, mask_e, rof,
                 owned, Pb=Pb, iters=dba_iters, lm=lm, ep=ep,
-                motion_only=False,
+                motion_only=False, strict_t0_quirk=t0_quirk,
             )
             disps = jnp.maximum(disps, 1e-3)
             return (net_ch, target_ch, weight_ch, poses, disps, damping,
@@ -271,7 +272,7 @@ def lowmem_steps_sharded(
     # function identity, so a fresh closure per call would retrace (and
     # over a tunnel, recompile) every update_lowmem invocation
     cache_key = (mesh, axis, net_def, num_slots, int(steps), Pb,
-                 dba_iters, lm, ep, EP, upsample, C, CH)
+                 dba_iters, lm, ep, EP, upsample, t0_quirk, C, CH)
     fn = _SHARDED_LOWMEM_CACHE.get(cache_key)
     if fn is None:
         fn = jax.jit(jax.shard_map(

@@ -119,7 +119,8 @@ def sharded_dba_iters(axis, poses, disps, intrinsics, disps_sens, eta,
                       t0, t1, target, weight, ii, jj, emask, rof, owned,
                       *, Pb: int, iters: int = 2, lm: float = 1e-4,
                       ep: float = 0.1, motion_only: bool = False,
-                      alpha: float = DEPTH_PRIOR_ALPHA):
+                      alpha: float = DEPTH_PRIOR_ALPHA,
+                      strict_t0_quirk: bool = False):
     """Per-shard body of the distributed DBA.  Must be called INSIDE a
     ``shard_map`` over ``axis``; all arrays carry no leading device axis
     (sharded operands already stripped to their local block).  Reused by
@@ -212,7 +213,9 @@ def sharded_dba_iters(axis, poses, disps, intrinsics, disps_sens, eta,
             )
 
             dx_pad = jnp.concatenate([dx, jnp.zeros((1, 6), dx.dtype)], 0)
-            ok_bsub = ok_schur
+            # quirk parity with geom/dba.py:470: ba_cuda's EvT6x1 skips
+            # pose row t0 in the depth back-substitution
+            ok_bsub = ok_schur & (rp >= (1 if strict_t0_quirk else 0))
             rp_bs = jnp.where(ok_bsub, rp, Pb)
             dw_rows = jnp.einsum("rah,ra->rh", E_rows, dx_pad[rp_bs])
             dw_l = jnp.zeros((N, HW), disps.dtype).at[row_frame].add(dw_rows)

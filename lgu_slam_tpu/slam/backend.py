@@ -53,10 +53,18 @@ class Backend:
                 "runs with fewer factors than the reference protocol — "
                 "raise cfg.backend_edge_cap for full accuracy",
                 stacklevel=2)
+        # size the edge buckets to the actual 16*t need (rounded up to a
+        # power of two for shape stability across repeated terminate()
+        # passes) — the full 8192-slot cap costs 6.4 GB of bf16 GRU
+        # hidden, an 8x overshoot for short sequences
+        bucket = min(
+            cfg.backend_edge_cap,
+            max(128, 1 << int(np.ceil(np.log2(max(max_factors, 1))))),
+        )
         graph = FactorGraph(
             self.net_def, self.params, self.video, cfg, corr_impl="alt",
             max_factors=max_factors,
-            edge_bucket=cfg.backend_edge_cap,
+            edge_bucket=bucket,
             inactive_bucket=8,
         )
         graph.add_proximity_factors(

@@ -384,20 +384,6 @@ def _lowmem_loop_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("net_def", "num_slots", "P", "dba_iters",
-                     "upsample", "t0_quirk"),
-    donate_argnums=(4, 5, 6),  # chunked net/target/weight staging buffers
-)
-def _lowmem_loop(net_def, params, video_state, fmap_pyr, net_ch, target_ch,
-                 weight_ch, *rest, **kw):
-    """steps x {chunked GRU sweep + global DBA} as one device program (see
-    _lowmem_loop_impl)."""
-    return _lowmem_loop_impl(net_def, params, video_state, fmap_pyr,
-                             net_ch, target_ch, weight_ch, *rest, **kw)
-
-
-@partial(
-    jax.jit,
     static_argnames=("net_def", "C", "num_slots", "P", "dba_iters",
                      "upsample", "t0_quirk"),
     donate_argnums=(4, 5, 6),  # the graph's net/target/weight edge buffers
@@ -1102,6 +1088,7 @@ class FactorGraph:
             self.fmap_pyr, net_ch, target_ch, weight_ch, plan, t0_, t1_,
             num_slots=CH, steps=steps, Pb=Pb, dba_iters=itrs,
             lm=cfg.dba_lm, ep=cfg.dba_ep, EP=EP, upsample=self.upsample,
+            t0_quirk=cfg.strict_t0_quirk,
         )
         net_ch, target_ch, weight_ch, poses, disps, damping, disps_up = out
 
@@ -1185,7 +1172,7 @@ class FactorGraph:
                 )
                 live = jnp.asarray(mask_c)[:, None, None, None] > 0
                 self.net = self.net.at[slot].set(
-                    jnp.where(live, net2, net_c)
+                    jnp.where(live, net2, net_c).astype(self.net.dtype)
                 )
                 self.target = self.target.at[slot].set(
                     jnp.where(live, target2, target_c)

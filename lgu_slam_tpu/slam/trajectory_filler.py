@@ -51,28 +51,9 @@ class TrajectoryFiller:
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
 
-        # Scratch slots [N, N+BATCH) hold the fill frames during the
-        # motion-only BA.  When the keyframe buffer is full (exactly the
-        # long-sequence eval case, trajectory_filler.py:69-75 in the
-        # reference) we widen the state by BATCH temporary slots instead
-        # of skipping the refinement — the widened shapes compile once
-        # and the original state is restored afterwards.
-        buf = video.state.poses.shape[0]
-        orig_state = None
-        if N + BATCH > buf:
-            orig_state = video.state
-            pad = N + BATCH - buf
-
-            def _widen(arr):
-                if arr.ndim == 0 or arr.shape[0] != buf:
-                    return arr  # e.g. the (1,1,1) disps_up placeholder
-                z = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
-                return jnp.concatenate([arr, z], axis=0)
-
-            video.state = type(orig_state)(
-                *[_widen(a) for a in orig_state]
-            )
-
+        assert N + BATCH <= video.state.poses.shape[0], (
+            "caller must reserve scratch headroom (see _widen_for_fill)"
+        )
         # write fill frames into scratch slots [N, N+BATCH)
         fd = video.state.fmaps.dtype
         s = video.state
@@ -108,26 +89,53 @@ class TrajectoryFiller:
         graph.update_n(6, t0=N, t1=N + BATCH, motion_only=True)
 
         poses_out = np.asarray(video.state.poses[N : N + M])
-        if orig_state is not None:
-            video.state = orig_state  # drop the temporary widening
         video.counter = N
         return [poses_out]
+
+    def _widen_for_fill(self):
+        """Reserve BATCH scratch slots past the keyframes.  When the
+        keyframe buffer is full (exactly the long-sequence eval case,
+        trajectory_filler.py:69-75 in the reference always has headroom
+        because DepthVideo over-allocates) the state is widened ONCE for
+        the whole trajectory — per-batch widening would concatenate-copy
+        the full video state for every 16 frames.  Returns the original
+        state to restore, or None if no widening was needed."""
+        video = self.video
+        buf = video.state.poses.shape[0]
+        if video.counter + BATCH <= buf:
+            return None
+        orig_state = video.state
+        pad = video.counter + BATCH - buf
+
+        def _widen(arr):
+            if arr.ndim == 0 or arr.shape[0] != buf:
+                return arr  # e.g. the (1,1,1) disps_up placeholder
+            z = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
+            return jnp.concatenate([arr, z], axis=0)
+
+        video.state = type(orig_state)(*[_widen(a) for a in orig_state])
+        return orig_state
 
     def __call__(self, image_stream):
         """Fill every stream frame; returns the full camera trajectory
         [T, 7] (world-to-camera, like video poses)."""
-        pose_list = []
-        tstamps, images, intrinsics = [], [], []
-        for item in image_stream:
-            t, image, intr = item[0], item[1], item[-1]
-            if hasattr(image, "ndim") and image.ndim == 4:
-                image = image[0]  # stereo: left camera only
-            tstamps.append(t)
-            images.append(image)
-            intrinsics.append(np.asarray(intr, np.float32))
-            if len(tstamps) == BATCH:
+        orig_state = self._widen_for_fill()
+        try:
+            pose_list = []
+            tstamps, images, intrinsics = [], [], []
+            for item in image_stream:
+                t, image, intr = item[0], item[1], item[-1]
+                if hasattr(image, "ndim") and image.ndim == 4:
+                    image = image[0]  # stereo: left camera only
+                tstamps.append(t)
+                images.append(image)
+                intrinsics.append(np.asarray(intr, np.float32))
+                if len(tstamps) == BATCH:
+                    pose_list += self._fill(tstamps, images, intrinsics)
+                    tstamps, images, intrinsics = [], [], []
+            if tstamps:
                 pose_list += self._fill(tstamps, images, intrinsics)
-                tstamps, images, intrinsics = [], [], []
-        if tstamps:
-            pose_list += self._fill(tstamps, images, intrinsics)
-        return np.concatenate(pose_list, axis=0)
+            return np.concatenate(pose_list, axis=0)
+        finally:
+            if orig_state is not None:
+                self.video.state = orig_state  # drop the widening
