@@ -180,3 +180,36 @@ def test_sharded_lowmem_misaligned_chunks_bounded():
           f"disps {disp_gap:.2e}")
     assert pose_gap < 3e-4, pose_gap
     assert disp_gap < 5e-4, disp_gap
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_lowmem_quirk_parity():
+    """strict_t0_quirk must reach the sharded back-substitution too
+    (code-review r5): quirk-on sharded == quirk-on single-device, and the
+    quirk must actually change the single-device result (else the test
+    proves nothing)."""
+    cfg = make_cfg().replace(strict_t0_quirk=True)
+    net, params = init_params(cfg, seed=0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("kf",))
+
+    g_ref = build_graph(cfg, net, params)
+    g_sh = build_graph(cfg, net, params)
+    g_noq = build_graph(cfg.replace(strict_t0_quirk=False), net, params)
+
+    g_ref.update_lowmem(steps=2)
+    g_sh.update_lowmem(steps=2, mesh=mesh)
+    g_noq.update_lowmem(steps=2)
+
+    T = g_ref.video.counter
+    d_ref = np.asarray(g_ref.video.state.disps[:T])
+    d_sh = np.asarray(g_sh.video.state.disps[:T])
+    d_noq = np.asarray(g_noq.video.state.disps[:T])
+    np.testing.assert_allclose(d_sh, d_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_sh.video.state.poses[:T]),
+        np.asarray(g_ref.video.state.poses[:T]),
+        rtol=1e-4, atol=1e-5,
+    )
+    # the quirk skips pose row t0 in the depth back-substitution, so
+    # frame t0's depth must differ from the non-quirk run
+    assert np.abs(d_ref - d_noq).max() > 1e-6
