@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from lgu_slam_tpu.geom import projective as pops
 from lgu_slam_tpu.geom.ba import ba
+from lgu_slam_tpu.geom.losses import safe_norm
 from lgu_slam_tpu.models.corr import (
     CorrPyramid,
     alt_corr_lookup,
@@ -181,8 +182,6 @@ class LGUNet(nn.Module):
                 # Gaussian-NLL auxiliary loss (droid_net.py:225-227)
                 # safe norm: invalid pixels are exact zeros and
                 # jnp.linalg.norm backprops NaN (0/0) at the origin
-                from lgu_slam_tpu.geom.losses import safe_norm  # noqa: PLC0415
-
                 cn = safe_norm(coords1 * valid)
                 mn = safe_norm(mean_n * valid)
                 t = jnp.maximum(theta, 1e-6)

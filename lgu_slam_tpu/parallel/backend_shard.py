@@ -254,7 +254,7 @@ def lowmem_steps_sharded(
             wgt = weight_ch.reshape(Es, h, w, 2) \
                 * mask_e[:, None, None, None]
             eta_dense = 0.2 * damping + EP
-            poses, disps = sharded_dba_iters(  # noqa: PLR0913
+            poses, disps = sharded_dba_iters(
                 axis, poses, disps, s0.intrinsics[0], s0.disps_sens,
                 eta_dense, t0, t1, tgt, wgt, ii_e, jj_e, mask_e, rof,
                 owned, Pb=Pb, iters=dba_iters, lm=lm, ep=ep,

@@ -253,6 +253,7 @@ def dba_step_sharded(
     ep: float = 0.1,
     motion_only: bool = False,
     alpha: float = DEPTH_PRIOR_ALPHA,
+    strict_t0_quirk: bool = False,
 ):
     """Run the distributed DBA under shard_map over ``mesh[axis]``."""
     ii_s, jj_s, mask_s, rof_s, owned_s = plan_arrays
@@ -265,7 +266,7 @@ def dba_step_sharded(
             axis, poses, disps, intrinsics, disps_sens, eta, t0, t1,
             target[0], weight[0], ii[0], jj[0], emask[0], rof[0], owned[0],
             Pb=Pb, iters=iters, lm=lm, ep=ep, motion_only=motion_only,
-            alpha=alpha,
+            alpha=alpha, strict_t0_quirk=strict_t0_quirk,
         )
 
     fn = jax.shard_map(

@@ -120,6 +120,7 @@ class TrajectoryFiller:
         """Fill every stream frame; returns the full camera trajectory
         [T, 7] (world-to-camera, like video poses)."""
         orig_state = self._widen_for_fill()
+        orig_counter = self.video.counter
         try:
             pose_list = []
             tstamps, images, intrinsics = [], [], []
@@ -137,5 +138,10 @@ class TrajectoryFiller:
                 pose_list += self._fill(tstamps, images, intrinsics)
             return np.concatenate(pose_list, axis=0)
         finally:
+            # restore BOTH halves of the invariant even on mid-batch
+            # failure: _fill bumps counter to N+BATCH before the BA, so
+            # an exception there would otherwise leave it pointing past
+            # the restored (un-widened) buffer
+            self.video.counter = orig_counter
             if orig_state is not None:
                 self.video.state = orig_state  # drop the widening
