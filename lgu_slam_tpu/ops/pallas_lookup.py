@@ -368,7 +368,55 @@ def _corner_acc(V4, S, k, W2p, hrow, xi, okd, acc_ref):
     return acc_ref[...].astype(jnp.float32)
 
 
-def _bilinear_level(V4, meta_l, px_d, py, acc_ref):
+def _corner_acc_pair(V4, S, k, W2p, h0row, xi, okd, acc0_ref, acc1_ref):
+    """Both y-corners (rows h0 and h0+1) in ONE row sweep.
+
+    Two independent :func:`_corner_acc` sweeps load and bf16->f32 cast
+    each visited stored row twice (the corner-1 range is corner-0's
+    shifted by one); fusing them halves the row loads/casts — the cast
+    is VPU work of the same order as the gather itself, and this sweep
+    is the kernel's dominant cost (see BASELINE.md roofline note)."""
+    TP = h0row.shape[0]
+    h0 = jnp.clip(h0row, 0, S * k - 1)
+    h1 = jnp.clip(h0row + 1, 0, S * k - 1)
+    hd0 = jnp.concatenate([h0, h0], axis=-1)  # [TP, 128]
+    hd1 = jnp.concatenate([h1, h1], axis=-1)
+    s0 = hd0 // k
+    s1 = hd1 // k
+    idx0 = (hd0 - s0 * k) * W2p + xi
+    idx1 = (hd1 - s1 * k) * W2p + xi
+
+    if S <= 2:
+        acc0 = jnp.zeros((TP, 128), jnp.float32)
+        acc1 = jnp.zeros((TP, 128), jnp.float32)
+        for s in range(S):
+            Vs = V4[:, s, :].astype(jnp.float32)
+            acc0 = jnp.where(s0 == s, jnp.take_along_axis(Vs, idx0, axis=-1),
+                             acc0)
+            acc1 = jnp.where(s1 == s, jnp.take_along_axis(Vs, idx1, axis=-1),
+                             acc1)
+        return acc0, acc1
+
+    # union row range of the valid taps' two corners
+    smin = jnp.min(jnp.minimum(s0, s1) * okd + S * (1 - okd))
+    smax = jnp.max(jnp.maximum(s0, s1) * okd - (1 - okd))
+    acc0_ref[...] = jnp.zeros((TP, 128), acc0_ref.dtype)
+    acc1_ref[...] = jnp.zeros((TP, 128), acc1_ref.dtype)
+    for s in range(S):
+        @pl.when(jnp.logical_and(s >= smin, s <= smax))
+        def _():
+            Vs = V4[:, s, :].astype(jnp.float32)
+            acc0_ref[...] = jnp.where(
+                s0 == s, jnp.take_along_axis(Vs, idx0, axis=-1),
+                acc0_ref[...])
+            acc1_ref[...] = jnp.where(
+                s1 == s, jnp.take_along_axis(Vs, idx1, axis=-1),
+                acc1_ref[...])
+    return acc0_ref[...].astype(jnp.float32), \
+        acc1_ref[...].astype(jnp.float32)
+
+
+def _bilinear_level(V4, meta_l, px_d, py, acc_ref, acc1_ref=None):
     """Full bilinear window lookup at one packed level V4 [TP, S, 128].
 
     px_d [TP, 128] (x positions, dup halves = the two x-corners),
@@ -394,15 +442,21 @@ def _bilinear_level(V4, meta_l, px_d, py, acc_ref):
     oki = ok.astype(jnp.int32)
     okd = jnp.concatenate([oki, oki], axis=-1)
 
-    a0 = _corner_acc(V4, S, k, W2p, y1i, xi, okd, acc_ref)
-    r0 = wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
-    a1 = _corner_acc(V4, S, k, W2p, y1i + 1, xi, okd, acc_ref)
-    return r0 + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
+    if acc1_ref is None:
+        a0 = _corner_acc(V4, S, k, W2p, y1i, xi, okd, acc_ref)
+        r0 = wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
+        a1 = _corner_acc(V4, S, k, W2p, y1i + 1, xi, okd, acc_ref)
+        return r0 + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:])
+
+    a0, a1 = _corner_acc_pair(V4, S, k, W2p, y1i, xi, okd, acc_ref,
+                              acc1_ref)
+    return (wy0 * (wx0 * a0[:, :64] + wx1 * a0[:, 64:])
+            + wy1 * (wx0 * a1[:, :64] + wx1 * a1[:, 64:]))
 
 
 def _fused_kernel(cxy_ref, off0_ref, off1_ref, v0_ref, v1_ref, v2_ref,
                   v3_ref, out0_ref, out1_ref, out2_ref, out3_ref, acc_ref,
-                  *, meta):
+                  acc1_ref, *, meta):
     TP = out0_ref.shape[1]
     Vs = (v0_ref[0], v1_ref[0], v2_ref[0], v3_ref[0])  # [TP, S_l, 128]
     cxy = cxy_ref[0]  # [TP, 128] (lane 0 = x, lane 1 = y)
@@ -440,7 +494,7 @@ def _fused_kernel(cxy_ref, off0_ref, off1_ref, v0_ref, v1_ref, v2_ref,
     pxp = cx * 0.5 + dxp
     probe = _bilinear_level(
         Vs[1], meta[1], jnp.concatenate([pxp, pxp], axis=-1),
-        cy * 0.5 + dyp, acc_ref,
+        cy * 0.5 + dyp, acc_ref, acc1_ref,
     )
     m = jnp.sum(probe[:, :9], axis=-1, keepdims=True) / 9.0
     var = jnp.sum((probe[:, :9] - m) ** 2, axis=-1, keepdims=True) / 8.0
@@ -450,15 +504,17 @@ def _fused_kernel(cxy_ref, off0_ref, off1_ref, v0_ref, v1_ref, v2_ref,
     o1 = off1_ref[0]
     px0, py0 = tap_positions(o0, 1.0, None)
     px1, py1 = tap_positions(o1, 0.5, gate)
-    out0_ref[0] = _bilinear_level(Vs[0], meta[0], px0, py0, acc_ref)
-    out1_ref[0] = _bilinear_level(Vs[1], meta[1], px1, py1, acc_ref)
+    out0_ref[0] = _bilinear_level(Vs[0], meta[0], px0, py0, acc_ref,
+                                  acc1_ref)
+    out1_ref[0] = _bilinear_level(Vs[1], meta[1], px1, py1, acc_ref,
+                                  acc1_ref)
     for lvl, oref in ((2, out2_ref), (3, out3_ref)):
         scale = 0.5 ** lvl
         px = cx * scale + dx
         py = cy * scale + dy
         oref[0] = _bilinear_level(
             Vs[lvl], meta[lvl], jnp.concatenate([px, px], axis=-1), py,
-            acc_ref,
+            acc_ref, acc1_ref,
         )
 
 
@@ -513,7 +569,8 @@ def fused_pyramid_lookup(
         ],
         out_specs=[ospec] * 4,
         out_shape=[oshape] * 4,
-        scratch_shapes=[pltpu.VMEM((TP, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TP, 128), jnp.float32),
+                        pltpu.VMEM((TP, 128), jnp.float32)],
         interpret=interpret,
     )(cxy, o0, o1, *vols)
     K = RD * RD
