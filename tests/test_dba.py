@@ -200,3 +200,41 @@ def test_slab_builder_matches_reference_formulation(rng):
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), atol=2e-5 * scale, err_msg=name
         )
+
+
+def test_dba_nan_target_keeps_state_finite(rng):
+    """Non-finite observations must not poison poses/disps — the
+    inference-path twin of test_ba.py's probe (ba_cuda's CPU LLT failure
+    path returns zeros, droid_kernels.cu:1202-1210; here the damped
+    solve falls back to a zero update, geom/dba.py:_solve_damped)."""
+    poses_gt, disps_gt, intr, ii, jj, target = make_scene(rng)
+    N, H, W = disps_gt.shape
+    plan = DbaPlan.build(ii, jj, N, edge_bucket=len(ii))
+    bad = jnp.asarray(target).at[0].set(jnp.nan).at[3, 2, 2, 0].set(jnp.inf)
+    weight = jnp.ones_like(bad)
+    eta = jnp.full((N, H, W), 1e-3)
+    sens = jnp.zeros((N, H, W))
+    p, d = run_dba(poses_gt, disps_gt, intr, plan, bad, weight, eta, sens,
+                   1, N, P=N - 1)
+    assert bool(jnp.isfinite(p).all())
+    assert bool(jnp.isfinite(d).all())
+    assert float(d.min()) >= 1e-3
+
+
+def test_dba_zero_weight_graph_stays_finite(rng):
+    """A fully down-weighted graph (every observation rejected) must
+    leave the state finite and essentially unchanged — only damping
+    holds the system together."""
+    poses_gt, disps_gt, intr, ii, jj, target = make_scene(rng)
+    N, H, W = disps_gt.shape
+    plan = DbaPlan.build(ii, jj, N, edge_bucket=len(ii))
+    weight = jnp.zeros_like(jnp.asarray(target))
+    eta = jnp.full((N, H, W), 1e-3)
+    sens = jnp.zeros((N, H, W))
+    p, d = run_dba(poses_gt, disps_gt, intr, plan, jnp.asarray(target),
+                   weight, eta, sens, 1, N, P=N - 1)
+    assert bool(jnp.isfinite(p).all())
+    assert bool(jnp.isfinite(d).all())
+    # zero information => the damped system solves to (near-)zero updates
+    assert pose_err(p, poses_gt) < 1e-5
+    assert float(jnp.abs(d - disps_gt).max()) < 1e-4
